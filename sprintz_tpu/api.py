@@ -1,0 +1,121 @@
+"""Public API: compress/decompress entry points with ndims dispatch.
+
+Mirrors the reference's 8 public entry points (sprintz.h:16-32) as a single
+codec object parameterized on (forecaster, element size). The reference
+dispatches ndims 1-4 (u8) / 1-2 (u16) to column-major "lowdim" variants and
+everything else to the general row-major codec (sprintz.cpp:34-74); this
+module reproduces that dispatch so streams stay byte-compatible.
+
+Backends:
+- ``backend="golden"``: scalar numpy spec codec (always available).
+- ``backend="jax"``: vectorized XLA/Pallas path (used automatically when
+  available for the requested configuration).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .constants import LOWDIM_MAX_NDIMS
+from .golden import rowmajor as _golden_rowmajor
+from .golden import lowdim as _golden_lowdim
+
+
+@dataclasses.dataclass(frozen=True)
+class SprintzCodec:
+    """A configured Sprintz codec.
+
+    Args:
+      codec: "delta" (running difference) or "xff" (FIRE online forecaster).
+      elem_sz: bytes per element: 1 (uint8) or 2 (uint16).
+      backend: "auto", "golden", or "jax".
+    """
+
+    codec: str = "delta"
+    elem_sz: int = 1
+    backend: str = "auto"
+
+    def __post_init__(self):
+        if self.codec not in ("delta", "xff"):
+            raise ValueError(f"codec must be 'delta' or 'xff', got {self.codec!r}")
+        if self.elem_sz not in (1, 2):
+            raise ValueError(f"elem_sz must be 1 or 2, got {self.elem_sz}")
+
+    # ------------------------------------------------------------- helpers
+    def _use_lowdim(self, ndims: int) -> bool:
+        return ndims <= LOWDIM_MAX_NDIMS[self.elem_sz]
+
+    def _as_flat(self, data: np.ndarray) -> tuple[np.ndarray, int]:
+        udt = np.uint8 if self.elem_sz == 1 else np.uint16
+        data = np.ascontiguousarray(data)
+        if data.dtype != udt:
+            raise TypeError(f"expected dtype {udt}, got {data.dtype}")
+        if data.ndim == 2:
+            return data.reshape(-1), data.shape[1]
+        if data.ndim == 1:
+            return data, 1
+        raise ValueError("data must be 1-D (univariate) or 2-D (rows, dims)")
+
+    # ------------------------------------------------------------- API
+    def compress(self, data: np.ndarray, ndims: int | None = None) -> bytes:
+        """Compress a (rows, ndims) array or flat row-major stream."""
+        flat, inferred = self._as_flat(data)
+        ndims = inferred if ndims is None else ndims
+        if self.backend in ("auto", "jax"):
+            try:
+                from . import encoder as _jax_encoder
+
+                out = _jax_encoder.compress(
+                    flat, ndims, codec=self.codec, elem_sz=self.elem_sz)
+                if out is not None:
+                    return out
+            except ImportError:
+                pass
+            if self.backend == "jax":
+                raise RuntimeError("jax backend unavailable for this config")
+        if self._use_lowdim(ndims):
+            return _golden_lowdim.compress_lowdim_rle(flat, ndims, codec=self.codec)
+        return _golden_rowmajor.compress_rowmajor_rle(flat, ndims, codec=self.codec)
+
+    def decompress(self, buf: bytes) -> np.ndarray:
+        """Decompress a stream; returns the flat row-major element array."""
+        ngroups, remaining_len, ndims = _golden_rowmajor.read_metadata_rle(buf)
+        if self.backend in ("auto", "jax"):
+            try:
+                from . import decoder as _jax_decoder
+
+                out = _jax_decoder.decompress(
+                    buf, codec=self.codec, elem_sz=self.elem_sz)
+                if out is not None:
+                    return out
+            except ImportError:
+                pass
+            if self.backend == "jax":
+                raise RuntimeError("jax backend unavailable for this config")
+        if ndims and self._use_lowdim(ndims) and not (
+                ngroups == 0 and remaining_len < _golden_rowmajor.MIN_DATA_SIZE):
+            return _golden_lowdim.decompress_lowdim_rle(
+                buf, codec=self.codec, elem_sz=self.elem_sz)
+        return _golden_rowmajor.decompress_rowmajor_rle(
+            buf, codec=self.codec, elem_sz=self.elem_sz)
+
+
+def compress(
+    data: np.ndarray,
+    codec: str = "delta",
+    ndims: int | None = None,
+    backend: str = "auto",
+) -> bytes:
+    elem_sz = np.asarray(data).dtype.itemsize
+    return SprintzCodec(codec, elem_sz, backend).compress(data, ndims=ndims)
+
+
+def decompress(
+    buf: bytes,
+    codec: str = "delta",
+    elem_sz: int = 1,
+    backend: str = "auto",
+) -> np.ndarray:
+    return SprintzCodec(codec, elem_sz, backend).decompress(buf)

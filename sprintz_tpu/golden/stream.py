@@ -1,0 +1,334 @@
+"""Generic Sprintz stream state machine (groups, headers, zero-run RLE).
+
+The group/RLE structure is shared by every multivariate codec; what varies
+per variant is (a) the forecaster and (b) the block payload layout:
+
+- row-major (sprintz_delta_rle.cpp / sprintz_xff_rle.cpp): rows are packed
+  across dims with byte-aligned rows; per-dim widths use the
+  promote-7-to-8 mask LUT, and 16-bit widths keep a full low byte whenever
+  any high bit is set.
+- lowdim column-major (sprintz_delta_lowdim.cpp / sprintz_xff_lowdim.cpp):
+  each dim's 8 samples are packed contiguously (8*w bits == w bytes, so no
+  cross-dim bit offsets); widths are the raw bit length with only the
+  (elem_bits-1) -> elem_bits promotion.
+
+Run-continuation boundary condition: the row-major xff encoder continues a
+run when exactly one group of data remains (`<=`, sprintz_xff_rle.cpp:362);
+the other three encoders use strict `<` (sprintz_delta_rle.cpp:226,
+sprintz_delta_lowdim.cpp:190, sprintz_xff_lowdim.cpp:234).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..constants import (
+    BLOCK_SZ,
+    GROUP_SZ_BLOCKS,
+    MAX_RUN_NBLOCKS,
+    METADATA_LEN_RLE,
+    MIN_DATA_SIZE,
+    NBITS_MASKS_U8,
+    nbits_sz_bits,
+    uint_dtype,
+)
+from ..utils.bits import (
+    decode_run_varint,
+    encode_run_varint,
+    pack_row_bits,
+    unpack_row_bits,
+)
+from .predictors import DeltaPredictor, FirePredictor
+
+
+def write_metadata_rle(ngroups: int, remaining_len: int, ndims: int) -> bytes:
+    """8-byte stream header {u32 ngroups, u16 remaining_len, u16 ndims} LE
+    (format.h:35-45)."""
+    out = bytearray(METADATA_LEN_RLE)
+    out[0:4] = int(ngroups).to_bytes(4, "little")
+    out[4:6] = int(remaining_len).to_bytes(2, "little")
+    out[6:8] = int(ndims).to_bytes(2, "little")
+    return bytes(out)
+
+
+def read_metadata_rle(buf: bytes) -> tuple[int, int, int]:
+    """Returns (ngroups, remaining_len, ndims)."""
+    ngroups = int.from_bytes(buf[0:4], "little")
+    remaining_len = int.from_bytes(buf[4:6], "little")
+    ndims = int.from_bytes(buf[6:8], "little")
+    return ngroups, remaining_len, ndims
+
+
+class RowMajorLayout:
+    """Byte-aligned packed rows across dims."""
+
+    run_cmp_allows_equal_for_xff = True
+
+    @staticmethod
+    def block_widths(errs_zz: np.ndarray, elem_sz: int) -> np.ndarray:
+        ormask = np.bitwise_or.reduce(errs_zz.astype(np.uint32), axis=0)
+        if elem_sz == 1:
+            masks = NBITS_MASKS_U8[ormask].astype(np.uint32)
+        else:
+            upper = NBITS_MASKS_U8[ormask >> 8].astype(np.uint32)
+            low_only = NBITS_MASKS_U8[np.where(upper > 0, 0, ormask)].astype(
+                np.uint32)
+            masks = np.where(upper > 0, (upper << 8) + 255, low_only)
+        return np.array([int(m).bit_length() for m in masks], dtype=np.int64)
+
+    @staticmethod
+    def payload_nbytes(widths: np.ndarray) -> int:
+        row_nbytes = (int(widths.sum()) + 7) // 8
+        return row_nbytes * BLOCK_SZ
+
+    @staticmethod
+    def emit_payload(out: bytearray, errs_zz: np.ndarray, widths: np.ndarray):
+        row_nbytes = (int(widths.sum()) + 7) // 8
+        for r in range(BLOCK_SZ):
+            out.extend(pack_row_bits(errs_zz[r], widths).to_bytes(
+                row_nbytes, "little"))
+
+    @staticmethod
+    def parse_payload(buf: bytes, pos: int, widths: np.ndarray, udt
+                      ) -> tuple[np.ndarray, int]:
+        row_nbytes = (int(widths.sum()) + 7) // 8
+        errs_zz = np.empty((BLOCK_SZ, len(widths)), dtype=udt)
+        for r in range(BLOCK_SZ):
+            row_int = int.from_bytes(buf[pos : pos + row_nbytes], "little")
+            pos += row_nbytes
+            errs_zz[r] = unpack_row_bits(row_int, widths, udt)
+        return errs_zz, pos
+
+
+class LowDimLayout:
+    """Column-major packing: each dim's 8 samples occupy exactly w bytes."""
+
+    run_cmp_allows_equal_for_xff = False
+
+    @staticmethod
+    def block_widths(errs_zz: np.ndarray, elem_sz: int) -> np.ndarray:
+        ormask = np.bitwise_or.reduce(errs_zz.astype(np.uint32), axis=0)
+        elem_bits = 8 * elem_sz
+        widths = np.array([int(m).bit_length() for m in ormask], dtype=np.int64)
+        return np.where(widths == elem_bits - 1, elem_bits, widths)
+
+    @staticmethod
+    def payload_nbytes(widths: np.ndarray) -> int:
+        return int(widths.sum())  # 8 samples * w bits == w bytes per dim
+
+    @staticmethod
+    def emit_payload(out: bytearray, errs_zz: np.ndarray, widths: np.ndarray):
+        for d, w in enumerate(widths.tolist()):
+            if w == 0:
+                continue
+            acc = 0
+            for r in range(BLOCK_SZ):
+                acc |= (int(errs_zz[r, d]) & ((1 << w) - 1)) << (r * w)
+            out.extend(acc.to_bytes(w, "little"))
+
+    @staticmethod
+    def parse_payload(buf: bytes, pos: int, widths: np.ndarray, udt
+                      ) -> tuple[np.ndarray, int]:
+        errs_zz = np.zeros((BLOCK_SZ, len(widths)), dtype=udt)
+        for d, w in enumerate(widths.tolist()):
+            if w == 0:
+                continue
+            acc = int.from_bytes(buf[pos : pos + w], "little")
+            pos += w
+            for r in range(BLOCK_SZ):
+                errs_zz[r, d] = (acc >> (r * w)) & ((1 << w) - 1)
+        return errs_zz, pos
+
+
+def make_predictor(codec: str, ndims: int, elem_sz: int, lowdim: bool = False):
+    if codec == "delta":
+        return DeltaPredictor(ndims, elem_sz)
+    if codec == "xff":
+        # Lowdim FIRE uses full-precision coefficients; rowmajor truncates
+        # to the top 4 bits (sprintz_xff_lowdim.cpp:38-39 vs
+        # sprintz_xff_rle.cpp:209-221).
+        return FirePredictor(ndims, elem_sz, truncate_coeffs=not lowdim)
+    raise ValueError(f"unknown codec {codec!r}")
+
+
+def compress_rle(
+    src: np.ndarray,
+    ndims: int,
+    codec: str,
+    layout,
+    write_size: bool = True,
+) -> bytes:
+    """Shared group/RLE encoder over a block payload layout strategy."""
+    src = np.ascontiguousarray(src)
+    elem_sz = src.dtype.itemsize
+    assert src.dtype in (np.uint8, np.uint16), src.dtype
+    assert ndims >= 1
+    n = src.size
+    hdr_bits = nbits_sz_bits(elem_sz)
+    elem_bits = 8 * elem_sz
+    block_elems = BLOCK_SZ * ndims
+    group_sz = block_elems * GROUP_SZ_BLOCKS
+    total_header_bits = ndims * hdr_bits * GROUP_SZ_BLOCKS
+    total_header_bytes = (total_header_bits + 7) // 8
+
+    if n < MIN_DATA_SIZE:
+        out = bytearray()
+        if write_size:
+            out += write_metadata_rle(0, n, ndims)
+        out += src.tobytes()
+        return bytes(out)
+
+    predictor = make_predictor(codec, ndims, elem_sz,
+                               lowdim=layout is LowDimLayout)
+    run_cmp_allows_equal = codec == "xff" and layout.run_cmp_allows_equal_for_xff
+
+    out = bytearray()
+    if write_size:
+        out += bytes(METADATA_LEN_RLE)  # patched at the end
+
+    last_start = n - group_sz
+    i = 0
+    run = 0
+    ngroups = 0
+    finished = False
+
+    header_pos = 0
+    header_acc = 0
+    hdr_bitpos = 0
+
+    def start_group():
+        nonlocal ngroups, header_pos, header_acc, hdr_bitpos
+        ngroups += 1
+        header_pos = len(out)
+        out.extend(bytes(total_header_bytes))
+        header_acc = 0
+        hdr_bitpos = 0
+
+    def flush_group_header():
+        out[header_pos : header_pos + total_header_bytes] = header_acc.to_bytes(
+            total_header_bytes, "little")
+
+    def emit_block(errs_zz: np.ndarray, widths: np.ndarray):
+        nonlocal header_acc, hdr_bitpos
+        for w in widths.tolist():
+            h = w - (1 if w == elem_bits else 0)
+            header_acc |= h << hdr_bitpos
+            hdr_bitpos += hdr_bits
+        layout.emit_payload(out, errs_zz, widths)
+
+    while i <= last_start and not finished:
+        start_group()
+        b = 0
+        while b < GROUP_SZ_BLOCKS:
+            block = src[i : i + block_elems].reshape(BLOCK_SZ, ndims)
+            errs_zz = predictor.encode_block(block)
+            widths = layout.block_widths(errs_zz, elem_sz)
+            width_bits = int(widths.sum())
+
+            while True:  # `just_read_block` re-entry point
+                if width_bits == 0 and run < MAX_RUN_NBLOCKS:
+                    run += 1
+                    i += block_elems
+                    more = (i <= last_start) if run_cmp_allows_equal else (
+                        i < last_start)
+                    if more:
+                        break  # read next block, same group position
+                    # end of data: close the run and pad out the group
+                    hdr_bitpos += ndims * hdr_bits
+                    b += 1
+                    out.extend(encode_run_varint(run))
+                    while b < GROUP_SZ_BLOCKS:
+                        out.append(0)  # empty const sections
+                        b += 1
+                    run = 0
+                    flush_group_header()
+                    finished = True
+                    break
+
+                if run > 0:
+                    b += 1
+                    out.extend(encode_run_varint(run))
+                    run = 0
+                    hdr_bitpos += ndims * hdr_bits
+                    if b == GROUP_SZ_BLOCKS:
+                        # run closing filled the group: current block becomes
+                        # the first block of a fresh group
+                        flush_group_header()
+                        start_group()
+                        b = 0
+                        continue  # re-enter with the same block
+                    if width_bits == 0:
+                        continue  # hit the run cap on a zero block
+
+                emit_block(errs_zz, widths)
+                i += block_elems
+                b += 1
+                break
+
+            if finished:
+                break
+        else:
+            flush_group_header()
+            continue
+        break  # only reached via `finished`
+
+    remaining = n - i
+    out += src[i:].tobytes()
+    if write_size:
+        out[0:METADATA_LEN_RLE] = write_metadata_rle(ngroups, remaining, ndims)
+    return bytes(out)
+
+
+def decompress_rle(
+    buf: bytes,
+    codec: str,
+    layout,
+    elem_sz: int = 1,
+    ndims: int | None = None,
+    ngroups: int | None = None,
+    remaining_len: int | None = None,
+) -> np.ndarray:
+    """Shared group/RLE decoder over a block payload layout strategy."""
+    pos = 0
+    if ndims is None:
+        ngroups, remaining_len, ndims = read_metadata_rle(buf)
+        pos = METADATA_LEN_RLE
+    assert ngroups is not None and remaining_len is not None
+
+    udt = uint_dtype(elem_sz)
+    hdr_bits = nbits_sz_bits(elem_sz)
+    elem_bits = 8 * elem_sz
+    total_header_bits = ndims * hdr_bits * GROUP_SZ_BLOCKS
+    total_header_bytes = (total_header_bits + 7) // 8
+
+    if ngroups == 0 and remaining_len < MIN_DATA_SIZE:
+        return np.frombuffer(buf, dtype=udt, count=remaining_len, offset=pos).copy()
+
+    predictor = make_predictor(codec, ndims, elem_sz,
+                               lowdim=layout is LowDimLayout)
+    chunks: list[np.ndarray] = []
+
+    for _ in range(ngroups):
+        header_acc = int.from_bytes(buf[pos : pos + total_header_bytes], "little")
+        pos += total_header_bytes
+        hdr_bitpos = 0
+        for _b in range(GROUP_SZ_BLOCKS):
+            raw = [
+                (header_acc >> (hdr_bitpos + d * hdr_bits)) & ((1 << hdr_bits) - 1)
+                for d in range(ndims)
+            ]
+            hdr_bitpos += ndims * hdr_bits
+            widths = np.array(
+                [elem_bits if h == elem_bits - 1 else h for h in raw],
+                dtype=np.int64)
+            if int(widths.sum()) == 0:
+                length, pos = decode_run_varint(buf, pos)
+                if length:
+                    chunks.append(predictor.decode_run(length))
+                continue
+            errs_zz, pos = layout.parse_payload(buf, pos, widths, udt)
+            chunks.append(predictor.decode_block(errs_zz))
+
+    trailing = np.frombuffer(buf, dtype=udt, count=remaining_len, offset=pos)
+    body = np.concatenate(chunks).reshape(-1) if chunks else np.empty(0, dtype=udt)
+    return np.concatenate([body.astype(udt, copy=False), trailing])
