@@ -1,0 +1,217 @@
+"""Vectorized Sprintz decoder: host header walk + JAX device reconstruct.
+
+The compressed layout only reveals payload sizes through the group headers,
+so offset recovery is a cheap sequential walk (O(groups), header bytes
+only — SURVEY §7 "decoder offset recovery"). Everything heavy then runs in
+one device pass:
+
+- gather packed payload rows into a dense (ndata, 8, MAXB) buffer,
+- extract per-dim fields (shift/mask, ops/pack.py),
+- scatter block errors into the full row timeline (runs = zero errors),
+- reconstruct values: delta = one cumulative sum; FIRE = block scan.
+
+Runs thus need no memrep: a zero-error row IS the run semantics for both
+forecasters, which is exactly how the reference decoder treats them
+(sprintz_delta_rle.cpp:646-682, sprintz_xff_rle.cpp:824-955).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+
+from .constants import (
+    BLOCK_SZ,
+    GROUP_SZ_BLOCKS,
+    LOWDIM_MAX_NDIMS,
+    METADATA_LEN_RLE,
+    MIN_DATA_SIZE,
+    nbits_sz_bits,
+)
+from .golden.stream import read_metadata_rle
+from .planner import unpack_headers
+from .utils.shapes import next_bucket, pad_rows
+
+_have_jax = True
+try:
+    import jax
+    import jax.numpy as jnp
+
+    from .models.forecasters import delta_decode, fire_decode
+    from .ops.pack import unpack_dims_lowdim, unpack_rows_rowmajor
+except Exception:  # pragma: no cover
+    _have_jax = False
+
+
+@dataclasses.dataclass
+class StreamIndex:
+    """Result of the host header walk: where everything lives."""
+
+    widths: np.ndarray  # (ndata, D) int32 per data block
+    payload_offsets: np.ndarray  # (ndata,) int64 byte offset of block payload
+    out_rows: np.ndarray  # (ndata,) int64 starting row of each data block
+    total_rows: int
+    tail_offset: int  # byte offset of the verbatim tail
+
+
+def walk_headers(buf: bytes, ngroups: int, ndims: int, elem_sz: int,
+                 start: int = METADATA_LEN_RLE, lowdim: bool = False
+                 ) -> StreamIndex:
+    """Sequential walk over group headers to index payloads and runs."""
+    hdr_bits = nbits_sz_bits(elem_sz)
+    elem_bits = 8 * elem_sz
+    total_header_bits = ndims * hdr_bits * GROUP_SZ_BLOCKS
+    total_header_bytes = (total_header_bits + 7) // 8
+
+    widths_list = []
+    offsets = []
+    out_rows = []
+    pos = start
+    row = 0
+    buf_np = np.frombuffer(buf, dtype=np.uint8)
+    for _g in range(ngroups):
+        hdr = unpack_headers(
+            buf_np[pos : pos + total_header_bytes][None, :], 1, ndims, hdr_bits)
+        pos += total_header_bytes
+        for b in range(GROUP_SZ_BLOCKS):
+            w = hdr[b].astype(np.int64)
+            w = np.where(w == elem_bits - 1, elem_bits, w)
+            wsum = int(w.sum())
+            if wsum == 0:
+                low = buf[pos]
+                pos += 1
+                length = low & 0x7F
+                if low & 0x80:
+                    length |= buf[pos] << 7
+                    pos += 1
+                row += length * BLOCK_SZ
+                continue
+            widths_list.append(w)
+            offsets.append(pos)
+            out_rows.append(row)
+            if lowdim:
+                pos += wsum  # each dim: 8 * w bits == w bytes
+            else:
+                pos += BLOCK_SZ * ((wsum + 7) // 8)
+            row += BLOCK_SZ
+    ndata = len(widths_list)
+    return StreamIndex(
+        widths=(np.stack(widths_list).astype(np.int32)
+                if ndata else np.zeros((0, ndims), np.int32)),
+        payload_offsets=np.asarray(offsets, dtype=np.int64),
+        out_rows=np.asarray(out_rows, dtype=np.int64),
+        total_rows=row,
+        tail_offset=pos,
+    )
+
+
+if _have_jax:
+
+    @functools.partial(jax.jit, static_argnames=(
+        "codec", "elem_sz", "lowdim", "total_rows"))
+    def _decode_pass(dense, widths, out_block_rows, codec, elem_sz, lowdim,
+                     total_rows):
+        """dense: (ndata, 8, MAXB) or (ndata, D, EB) int32 bytes."""
+        eb = 8 * elem_sz
+        if lowdim:
+            errs = unpack_dims_lowdim(dense, widths)
+        else:
+            errs = unpack_rows_rowmajor(dense, widths)
+        ndata, _, ndims = errs.shape
+        full = jnp.zeros((total_rows, ndims), dtype=jnp.int32)
+        row_idx = (out_block_rows[:, None]
+                   + jnp.arange(BLOCK_SZ)[None, :]).reshape(-1)
+        full = full.at[row_idx].set(
+            errs.reshape(ndata * BLOCK_SZ, ndims), mode="drop")
+        if codec == "delta":
+            vals = delta_decode(full, eb)
+        else:
+            vals = fire_decode(full, eb, truncate_coeffs=not lowdim)
+        return vals
+
+
+def gather_payloads(buf: bytes, idx: StreamIndex, ndims: int, elem_sz: int,
+                    lowdim: bool) -> np.ndarray:
+    """Gather packed payload bytes into a dense per-block buffer
+    (vectorized index arithmetic, no per-block loops)."""
+    buf_np = np.frombuffer(buf, dtype=np.uint8)
+    ndata = idx.widths.shape[0]
+    if lowdim:
+        maxb = 8 * elem_sz
+        dense = np.zeros((ndata, ndims, maxb), dtype=np.uint8)
+        if ndata == 0:
+            return dense
+        w = idx.widths.astype(np.int64)  # (ndata, D)
+        unit_len = w.reshape(-1)
+        unit_src = (np.repeat(idx.payload_offsets, ndims)
+                    + (np.cumsum(w, axis=1) - w).reshape(-1))
+        unit_dst = np.arange(ndata * ndims, dtype=np.int64) * maxb
+    else:
+        maxb = ndims * elem_sz
+        dense = np.zeros((ndata, BLOCK_SZ, maxb), dtype=np.uint8)
+        if ndata == 0:
+            return dense
+        rb = ((idx.widths.sum(axis=1) + 7) // 8).astype(np.int64)
+        unit_len = np.repeat(rb, BLOCK_SZ)
+        unit_src = (np.repeat(idx.payload_offsets, BLOCK_SZ)
+                    + np.tile(np.arange(BLOCK_SZ), ndata) * unit_len)
+        unit_dst = np.arange(ndata * BLOCK_SZ, dtype=np.int64) * maxb
+    nz = unit_len > 0
+    unit_len, unit_src, unit_dst = unit_len[nz], unit_src[nz], unit_dst[nz]
+    tot = int(unit_len.sum())
+    if tot:
+        starts = np.cumsum(unit_len) - unit_len
+        q = np.arange(tot) - np.repeat(starts, unit_len)
+        flat = dense.reshape(-1)
+        flat[np.repeat(unit_dst, unit_len) + q] = buf_np[
+            np.repeat(unit_src, unit_len) + q]
+    return dense
+
+
+def decompress(
+    buf: bytes,
+    codec: str = "delta",
+    elem_sz: int = 1,
+    force_layout: str | None = None,
+) -> np.ndarray | None:
+    """Decompress a stream; returns flat elements, or None if JAX missing."""
+    if not _have_jax:
+        return None
+    udt = np.uint8 if elem_sz == 1 else np.uint16
+    ngroups, remaining_len, ndims = read_metadata_rle(buf)
+    if ngroups == 0 and remaining_len < MIN_DATA_SIZE:
+        return np.frombuffer(
+            buf, dtype=udt, count=remaining_len, offset=METADATA_LEN_RLE).copy()
+
+    if force_layout is None:
+        lowdim = ndims <= LOWDIM_MAX_NDIMS[elem_sz]
+    else:
+        lowdim = force_layout == "lowdim"
+
+    idx = walk_headers(buf, ngroups, ndims, elem_sz, lowdim=lowdim)
+    ndata = idx.widths.shape[0]
+    dense = gather_payloads(buf, idx, ndims, elem_sz, lowdim)
+
+    if idx.total_rows:
+        # bucket shapes so the jitted pass compiles per bucket, not per stream
+        nd_pad = next_bucket(ndata)
+        rows_pad = next_bucket(idx.total_rows)
+        dense_p = pad_rows(dense, nd_pad)
+        widths_p = pad_rows(idx.widths, nd_pad)
+        # padded blocks scatter out of range -> dropped by XLA
+        out_rows_p = np.full(nd_pad, rows_pad + BLOCK_SZ, dtype=np.int64)
+        out_rows_p[:ndata] = idx.out_rows
+        vals = _decode_pass(
+            jnp.asarray(dense_p, jnp.int32),
+            jnp.asarray(widths_p, jnp.int32),
+            jnp.asarray(out_rows_p, jnp.int32),
+            codec, elem_sz, lowdim, rows_pad)
+        body = np.asarray(vals[: idx.total_rows]).astype(udt).reshape(-1)
+    else:
+        body = np.empty(0, dtype=udt)
+
+    tail = np.frombuffer(
+        buf, dtype=udt, count=remaining_len, offset=idx.tail_offset)
+    return np.concatenate([body, tail])

@@ -1,0 +1,211 @@
+"""Vectorized Sprintz encoder: JAX device pass + host plan/assembly.
+
+Three stages (SURVEY §7 step 3):
+1. Device (jit): forecast all blocks (delta = shifted subtract; FIRE =
+   lax.scan), compute per-block/dim widths and zero flags, and bit-pack
+   every block into a dense per-block buffer (one-hot matmul, see
+   ops/pack.py). Forecaster state does not depend on the RLE/group
+   structure, so this is one parallel pass.
+2. Host: derive the group/RLE emission plan from the zero flags
+   (planner.build_plan) — O(blocks) bookkeeping, no element data touched.
+3. Host: assemble the final byte stream (headers via np.packbits, payload
+   slices from the dense buffer, run varints, verbatim tail).
+
+Output is byte-identical to the reference/golden encoders.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from .constants import (
+    BLOCK_SZ,
+    GROUP_SZ_BLOCKS,
+    LOWDIM_MAX_NDIMS,
+    METADATA_LEN_RLE,
+    MIN_DATA_SIZE,
+    nbits_sz_bits,
+)
+from .golden.stream import write_metadata_rle
+from .planner import KIND_DATA, KIND_RUN, build_plan, pack_headers
+from .utils.shapes import next_bucket, pad_rows
+
+_have_jax = True
+try:
+    import jax
+    import jax.numpy as jnp
+
+    from .models.forecasters import delta_encode, fire_encode
+    from .ops.bitmath import block_widths_lowdim, block_widths_rowmajor, header_value
+    from .ops.pack import pack_dims_lowdim, pack_rows_rowmajor
+except Exception:  # pragma: no cover
+    _have_jax = False
+
+
+if _have_jax:
+
+    @functools.partial(
+        jax.jit, static_argnames=("codec", "elem_sz", "lowdim"))
+    def _encode_pass(rows: jnp.ndarray, codec: str, elem_sz: int,
+                     lowdim: bool):
+        """Device pass: rows (N, D) int32 -> (errs, widths, hdr, dense, zero).
+
+        N divisible by 8. Returns per-block arrays for all N//8 blocks.
+        """
+        eb = 8 * elem_sz
+        if codec == "delta":
+            errs = delta_encode(rows, eb)
+        else:
+            errs = fire_encode(rows, eb, truncate_coeffs=not lowdim)
+        nb = rows.shape[0] // BLOCK_SZ
+        blocks = errs.reshape(nb, BLOCK_SZ, -1)
+        ormask = jnp.bitwise_or.reduce(blocks, axis=1)
+        if lowdim:
+            widths = block_widths_lowdim(ormask, elem_sz)
+            dense = pack_dims_lowdim(blocks, widths, elem_sz)
+        else:
+            widths = block_widths_rowmajor(ormask, elem_sz)
+            dense = pack_rows_rowmajor(blocks, widths, elem_sz)
+        hdr = header_value(widths, eb)
+        width_sums = widths.sum(axis=1)
+        return widths, hdr, dense, width_sums
+
+
+def compress(
+    flat: np.ndarray,
+    ndims: int,
+    codec: str = "delta",
+    elem_sz: int | None = None,
+    force_layout: str | None = None,
+) -> bytes | None:
+    """Compress a flat row-major stream; byte-identical to the golden codec.
+
+    Returns None if JAX is unavailable (caller falls back to golden).
+    """
+    if not _have_jax:
+        return None
+    flat = np.ascontiguousarray(flat)
+    elem_sz = flat.dtype.itemsize if elem_sz is None else elem_sz
+    n = flat.size
+    hdr_bits = nbits_sz_bits(elem_sz)
+
+    if force_layout is None:
+        lowdim = ndims <= LOWDIM_MAX_NDIMS[elem_sz]
+    else:
+        lowdim = force_layout == "lowdim"
+
+    if n < MIN_DATA_SIZE:
+        return write_metadata_rle(0, n, ndims) + flat.tobytes()
+
+    block_elems = BLOCK_SZ * ndims
+    nb_max = n // block_elems
+    nb_pad = next_bucket(nb_max)
+    rows = pad_rows(
+        flat[: nb_max * block_elems].reshape(-1, ndims).astype(np.int32),
+        nb_pad * BLOCK_SZ)
+
+    widths, hdr, dense, width_sums = _encode_pass(
+        jnp.asarray(rows), codec, elem_sz, lowdim)
+    widths_np = np.asarray(widths)
+    hdr_np = np.asarray(hdr).astype(np.uint8)
+    dense_np = np.asarray(dense)
+    zero_flags = np.asarray(width_sums)[:nb_max] == 0
+
+    run_cmp_allows_equal = codec == "xff" and not lowdim
+    plan = build_plan(zero_flags, n, ndims, run_cmp_allows_equal)
+    stream = assemble_stream(
+        plan, widths_np, hdr_np, dense_np, ndims, elem_sz, lowdim,
+        flat[n - plan.remaining_elems:])
+    return stream
+
+
+def assemble_stream(plan, widths_np, hdr_np, dense_np, ndims, elem_sz,
+                    lowdim, tail: np.ndarray) -> bytes:
+    """Vectorized final stream assembly (no per-block Python loops).
+
+    Computes every byte's destination with numpy index arithmetic:
+    group g's header precedes slots 2g, 2g+1; slot payload lengths are
+    8*row_nbytes (rowmajor), sum(widths) (lowdim), or varint sizes.
+    """
+    hdr_bits = nbits_sz_bits(elem_sz)
+    total_header_bytes = (ndims * hdr_bits * GROUP_SZ_BLOCKS + 7) // 8
+
+    kinds = plan.kinds
+    values = plan.values
+    nslots = plan.nslots
+    data_mask = kinds == KIND_DATA
+    run_mask = kinds == KIND_RUN
+    data_vals = values[data_mask]
+
+    # per-slot payload lengths
+    slot_len = np.ones(nslots, dtype=np.int64)  # run0 -> 1 byte
+    if lowdim:
+        block_payload = widths_np.sum(axis=1).astype(np.int64)
+    else:
+        row_nbytes = (widths_np.sum(axis=1) + 7) // 8
+        block_payload = (BLOCK_SZ * row_nbytes).astype(np.int64)
+    slot_len[data_mask] = block_payload[data_vals]
+    slot_len[run_mask] = 1 + (values[run_mask] > 0x7F)
+
+    # output offsets: META + headers before/within + payloads before
+    cum_payload = np.concatenate([[0], np.cumsum(slot_len)])
+    slot_off = (METADATA_LEN_RLE
+                + total_header_bytes * (np.arange(nslots) // GROUP_SZ_BLOCKS + 1)
+                + cum_payload[:-1])
+    total = int(slot_off[-1] + slot_len[-1]) if nslots else METADATA_LEN_RLE
+    out = np.zeros(total + tail.nbytes, dtype=np.uint8)
+    out[:METADATA_LEN_RLE] = np.frombuffer(
+        write_metadata_rle(plan.ngroups, plan.remaining_elems, ndims),
+        dtype=np.uint8)
+
+    # headers
+    slot_headers = np.zeros((nslots, ndims), dtype=np.uint8)
+    slot_headers[data_mask] = hdr_np[data_vals]
+    header_bytes = pack_headers(slot_headers, hdr_bits)
+    hdr_off = (slot_off[::GROUP_SZ_BLOCKS] - total_header_bytes)
+    out[hdr_off[:, None] + np.arange(total_header_bytes)[None, :]] = header_bytes
+
+    # run varints
+    run_off = slot_off[run_mask]
+    run_val = values[run_mask].astype(np.int64)
+    two = run_val > 0x7F
+    out[run_off] = (run_val & 0x7F) | (two.astype(np.int64) << 7)
+    out[run_off[two] + 1] = run_val[two] >> 7
+
+    # data payloads: build flat (out_idx, src_idx) index arrays
+    if data_vals.size:
+        doff = slot_off[data_mask]
+        if lowdim:
+            # units are (block, dim) sections of widths[b, d] bytes
+            w = widths_np[data_vals].astype(np.int64)  # (ndata, D)
+            unit_len = w.reshape(-1)
+            unit_out = (np.repeat(doff, ndims)
+                        + (np.cumsum(w, axis=1) - w).reshape(-1))
+            unit_src = (data_vals[:, None] * ndims
+                        + np.arange(ndims)[None, :]).reshape(-1) * dense_np.shape[2]
+            nz = unit_len > 0
+            unit_len, unit_out, unit_src = unit_len[nz], unit_out[nz], unit_src[nz]
+        else:
+            rb = row_nbytes[data_vals].astype(np.int64)  # (ndata,)
+            # units are rows: 8 per block, rb bytes each
+            unit_len = np.repeat(rb, BLOCK_SZ)
+            unit_out = (np.repeat(doff, BLOCK_SZ)
+                        + np.tile(np.arange(BLOCK_SZ), rb.size) * unit_len)
+            unit_src = ((data_vals[:, None] * BLOCK_SZ
+                         + np.arange(BLOCK_SZ)[None, :]).reshape(-1)
+                        * dense_np.shape[2])
+            nz = unit_len > 0
+            unit_len, unit_out, unit_src = unit_len[nz], unit_out[nz], unit_src[nz]
+        tot = int(unit_len.sum())
+        if tot:
+            starts = np.cumsum(unit_len) - unit_len
+            q = np.arange(tot) - np.repeat(starts, unit_len)  # pos within unit
+            out_idx = np.repeat(unit_out, unit_len) + q
+            src_idx = np.repeat(unit_src, unit_len) + q
+            out[out_idx] = dense_np.reshape(-1)[src_idx]
+
+    if tail.nbytes:
+        out[total:] = np.frombuffer(tail.tobytes(), dtype=np.uint8)
+    return out.tobytes()

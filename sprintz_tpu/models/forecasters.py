@@ -1,0 +1,120 @@
+"""JAX forecasters: delta (parallel prefix) and FIRE (block scan).
+
+TPU-native design notes:
+- All lane math runs in int32 (the VPU's native width); the reference's
+  i8/i16 wraparound and narrowing truncations are reproduced with
+  mask+sign-extend, verified bit-exact against the golden predictors.
+- Delta is an exact prefix sum, so encode is a shifted subtract and decode
+  a single cumulative sum over rows: fully parallel.
+- FIRE's coefficient update is a data-dependent nonlinear recurrence
+  (sprintz_xff_rle.cpp:199-276), so it scans over blocks with the 8-row
+  inner loop unrolled and all dims (and any batched streams) vectorized in
+  lanes. Throughput comes from the dim/stream axes, matching SURVEY §5's
+  long-context analysis.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import BLOCK_SZ, FIRE_LEARNING_SHIFT
+from ..ops.bitmath import sign_extend, zigzag_decode, zigzag_encode
+
+# ------------------------------------------------------------------ delta
+
+
+def delta_encode(rows: jnp.ndarray, elem_bits: int) -> jnp.ndarray:
+    """rows: (N, D) int32 holding unsigned values -> zigzag errs (N, D) int32."""
+    prev = jnp.concatenate([jnp.zeros_like(rows[:1]), rows[:-1]], axis=0)
+    deltas = sign_extend(rows - prev, elem_bits)
+    return zigzag_encode(deltas, elem_bits)
+
+
+def delta_decode(errs_zz: jnp.ndarray, elem_bits: int) -> jnp.ndarray:
+    """Inverse of delta_encode: one big prefix sum over rows."""
+    deltas = zigzag_decode(errs_zz, elem_bits)
+    return jnp.cumsum(deltas, axis=0, dtype=jnp.int32) & ((1 << elem_bits) - 1)
+
+
+# ------------------------------------------------------------------ FIRE
+
+
+def _fire_coef(counter: jnp.ndarray, elem_bits: int, truncate_coeffs: bool
+               ) -> jnp.ndarray:
+    if truncate_coeffs:
+        shft = elem_bits - 4
+        coef = (counter >> (FIRE_LEARNING_SHIFT + shft)) << shft
+        return sign_extend(coef, 16)  # int16_t coef (sprintz_xff_rle.cpp:221)
+    return counter >> FIRE_LEARNING_SHIFT  # full precision (lowdim variant)
+
+
+def _counter_bits(elem_bits: int) -> int:
+    return 16 if elem_bits == 8 else 32
+
+
+def _fire_block_step(carry, block_vals, *, elem_bits, truncate_coeffs, decode):
+    """One 8-row FIRE step, vectorized over lanes.
+
+    carry: (prev_val, prev_delta, counter) int32 lane arrays.
+    block_vals: (8, ...) int32 — raw values (encode) or zigzag errs (decode).
+    Returns (new_carry, (8, ...) int32 output — errs (encode) or vals).
+    """
+    prev_val, prev_delta, counter = carry
+    coef = _fire_coef(counter, elem_bits, truncate_coeffs)
+    grad_sum = jnp.zeros_like(prev_delta)
+    outs = []
+    for i in range(BLOCK_SZ):
+        prediction = sign_extend((prev_delta * coef) >> elem_bits, elem_bits)
+        if decode:
+            err = zigzag_decode(block_vals[i], elem_bits)
+            delta = sign_extend(err + prediction, elem_bits)
+            val = (prev_val + delta) & ((1 << elem_bits) - 1)
+            outs.append(val)
+        else:
+            val = block_vals[i]
+            delta = sign_extend(val - prev_val, elem_bits)
+            err = sign_extend(delta - prediction, elem_bits)
+            outs.append(zigzag_encode(err, elem_bits))
+        if i % 2 == 1:  # learning_downsample == 2
+            # icopysign(err, prev_delta) (util.h:63-74)
+            mask = err >> 31
+            grad = jnp.where(err != 0, (prev_delta ^ mask) - mask, 0)
+            grad_sum = sign_extend(grad_sum + grad, elem_bits)
+        prev_val = val
+        prev_delta = delta
+    counter = sign_extend(counter + (grad_sum >> 2), _counter_bits(elem_bits))
+    return (prev_val, prev_delta, counter), jnp.stack(outs)
+
+
+def _fire_scan(vals_or_errs: jnp.ndarray, elem_bits: int,
+               truncate_coeffs: bool, decode: bool) -> jnp.ndarray:
+    """Scan FIRE over blocks. Input (nb, 8, ...) int32; output same shape."""
+    # zeros derived from the input so the carry inherits any mesh-varying
+    # axes when running under shard_map (scan carry types must match)
+    zero = jnp.zeros_like(vals_or_errs[0, 0])
+    step = functools.partial(
+        _fire_block_step, elem_bits=elem_bits,
+        truncate_coeffs=truncate_coeffs, decode=decode)
+    _, out = jax.lax.scan(step, (zero, zero, zero), vals_or_errs)
+    return out
+
+
+def fire_encode(rows: jnp.ndarray, elem_bits: int,
+                truncate_coeffs: bool = True) -> jnp.ndarray:
+    """rows: (N, D) int32 unsigned values, N divisible by 8 -> zigzag errs."""
+    nb = rows.shape[0] // BLOCK_SZ
+    blocks = rows.reshape(nb, BLOCK_SZ, *rows.shape[1:])
+    return _fire_scan(blocks, elem_bits, truncate_coeffs, decode=False
+                      ).reshape(rows.shape)
+
+
+def fire_decode(errs_zz: jnp.ndarray, elem_bits: int,
+                truncate_coeffs: bool = True) -> jnp.ndarray:
+    """errs_zz: (N, D) int32 zigzag errors -> unsigned values (N, D) int32."""
+    nb = errs_zz.shape[0] // BLOCK_SZ
+    blocks = errs_zz.reshape(nb, BLOCK_SZ, *errs_zz.shape[1:])
+    return _fire_scan(blocks, elem_bits, truncate_coeffs, decode=True
+                      ).reshape(errs_zz.shape)
