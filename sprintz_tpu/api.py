@@ -36,12 +36,15 @@ class SprintzCodec:
     codec: str = "delta"
     elem_sz: int = 1
     backend: str = "auto"
+    entropy: str = "none"  # "none" | "huffman" (the paper's "+Huf" variants)
 
     def __post_init__(self):
         if self.codec not in ("delta", "xff"):
             raise ValueError(f"codec must be 'delta' or 'xff', got {self.codec!r}")
         if self.elem_sz not in (1, 2):
             raise ValueError(f"elem_sz must be 1 or 2, got {self.elem_sz}")
+        if self.entropy not in ("none", "huffman"):
+            raise ValueError(f"unknown entropy stage {self.entropy!r}")
 
     # ------------------------------------------------------------- helpers
     def _use_lowdim(self, ndims: int) -> bool:
@@ -61,6 +64,14 @@ class SprintzCodec:
     # ------------------------------------------------------------- API
     def compress(self, data: np.ndarray, ndims: int | None = None) -> bytes:
         """Compress a (rows, ndims) array or flat row-major stream."""
+        stream = self._compress_sprintz(data, ndims)
+        if self.entropy == "huffman":
+            from .entropy import huff_compress
+
+            return huff_compress(stream)
+        return stream
+
+    def _compress_sprintz(self, data: np.ndarray, ndims: int | None) -> bytes:
         flat, inferred = self._as_flat(data)
         ndims = inferred if ndims is None else ndims
         if self.backend in ("auto", "jax"):
@@ -81,6 +92,10 @@ class SprintzCodec:
 
     def decompress(self, buf: bytes) -> np.ndarray:
         """Decompress a stream; returns the flat row-major element array."""
+        if self.entropy == "huffman":
+            from .entropy import huff_decompress
+
+            buf = huff_decompress(buf).tobytes()
         ngroups, remaining_len, ndims = _golden_rowmajor.read_metadata_rle(buf)
         if self.backend in ("auto", "jax"):
             try:

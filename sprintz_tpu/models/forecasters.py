@@ -33,10 +33,30 @@ def delta_encode(rows: jnp.ndarray, elem_bits: int) -> jnp.ndarray:
     return zigzag_encode(deltas, elem_bits)
 
 
+def hierarchical_cumsum(x: jnp.ndarray, chunk: int = 512) -> jnp.ndarray:
+    """Two-level inclusive prefix sum along axis 0.
+
+    A monolithic long-axis cumsum costs XLA O(log N) full-array passes;
+    chunking does one intra-chunk pass plus a small chunk-totals scan —
+    ~3 passes of HBM traffic regardless of N.
+    """
+    n = x.shape[0]
+    if n <= chunk:
+        return jnp.cumsum(x, axis=0, dtype=jnp.int32)
+    pad = (-n) % chunk
+    xp = jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+    c = xp.reshape(-1, chunk, *x.shape[1:])
+    inner = jnp.cumsum(c, axis=1, dtype=jnp.int32)
+    totals = inner[:, -1]
+    offsets = jnp.cumsum(totals, axis=0, dtype=jnp.int32) - totals
+    out = inner + offsets[:, None]
+    return out.reshape(-1, *x.shape[1:])[:n]
+
+
 def delta_decode(errs_zz: jnp.ndarray, elem_bits: int) -> jnp.ndarray:
-    """Inverse of delta_encode: one big prefix sum over rows."""
+    """Inverse of delta_encode: one big (hierarchical) prefix sum over rows."""
     deltas = zigzag_decode(errs_zz, elem_bits)
-    return jnp.cumsum(deltas, axis=0, dtype=jnp.int32) & ((1 << elem_bits) - 1)
+    return hierarchical_cumsum(deltas) & ((1 << elem_bits) - 1)
 
 
 # ------------------------------------------------------------------ FIRE

@@ -1,38 +1,56 @@
 """JAX bit-packing kernels: per-block payload bytes from errors + widths.
 
 The reference packs with per-stripe ``_pext_u64`` loops
-(sprintz_delta_rle.cpp:345-381). TPUs have no bit scatter/gather, so the
-pack is reformulated as a batched one-hot matmul: each value contributes
-up to 3 bytes (w <= 16 bits shifted by <= 7), scattered onto output byte
-positions via an exact f32 matmul that XLA tiles onto the MXU. Bits of
-different values never collide within a byte, so the matmul's adds are
-equivalent to the reference's ORs.
+(sprintz_delta_rle.cpp:345-381). TPUs have no bit scatter/gather — and
+XLA gathers/scatters with per-element indices scalarize (measured ~1000x
+slower than arithmetic), as do dynamic slices of the lane dimension. The
+TPU-native formulation here turns byte (un)packing into **exact bf16
+matmuls on the MXU**:
 
-Outputs are dense per-block buffers; variable-length stream assembly is
-a host/gather concern (see planner.py / encoder.py).
+- Every value contributes up to 3 bytes (w <= 16 bits shifted by <= 7).
+- pack: dense[b,r,m] = sum_k sum_d [q_d+k == m] * c_k[b,r,d]
+  — per byte-lane one-hot matmuls. Bits of different values never collide
+  within a byte, so the adds equal the reference's ORs.
+- unpack: word[b,r,d] = sum_j dense[b,r,j] * W[b,d,j],
+  W in {0, 1, 256, 65536} selecting each dim's 3-byte window.
+
+Exactness: bytes (<=255) and the weights (powers of two) are exact in
+bf16; every product and sum stays < 2^24, so f32 accumulation is exact
+integer arithmetic. Work is chunked over blocks to bound the one-hot
+intermediates.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..constants import BLOCK_SZ
 
+_CHUNK = 2048  # blocks per one-hot chunk
 
-def _scatter_bytes(contrib: jnp.ndarray, byte_idx: jnp.ndarray, maxb: int
-                   ) -> jnp.ndarray:
-    """Sum byte contributions onto byte positions.
 
-    contrib: (..., K) int32 byte values (0..255)
-    byte_idx: (..., K) int32 target byte positions (out of range -> dropped)
-    Returns (..., maxb) int32.
-    """
-    onehot = (byte_idx[..., None] == jnp.arange(maxb)[None, :]).astype(
-        jnp.float32)
-    dense = jnp.einsum("...k,...km->...m", contrib.astype(jnp.float32), onehot,
-                       preferred_element_type=jnp.float32)
-    return dense.astype(jnp.int32)
+def _chunked(fn, n_leading: int, *arrays):
+    """Apply fn over chunks of the leading axis and concatenate."""
+    if n_leading <= _CHUNK:
+        return fn(*arrays)
+    assert n_leading % _CHUNK == 0, "bucketed shapes are powers of two"
+    nchunks = n_leading // _CHUNK
+    reshaped = [a.reshape(nchunks, _CHUNK, *a.shape[1:]) for a in arrays]
+    out = jax.lax.map(lambda args: fn(*args), tuple(reshaped))
+    return out.reshape(nchunks * _CHUNK, *out.shape[2:])
+
+
+def _matmul_exact(a_bytes: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Batched (..., R, K) x (..., K, M) int matmul via exact bf16 MXU dot."""
+    return jax.lax.dot_general(
+        a_bytes.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+        dimension_numbers=(((a_bytes.ndim - 1,), (w.ndim - 2,)),
+                           (tuple(range(a_bytes.ndim - 2)),
+                            tuple(range(w.ndim - 2)))),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
 
 
 def pack_rows_rowmajor(errs_zz: jnp.ndarray, widths: jnp.ndarray,
@@ -40,24 +58,25 @@ def pack_rows_rowmajor(errs_zz: jnp.ndarray, widths: jnp.ndarray,
     """Pack row-major block payloads.
 
     errs_zz: (nb, 8, D) int32 zigzag errors; widths: (nb, D) int32.
-    Returns dense (nb, 8, MAXB) uint8 where MAXB = D * elem_sz; row r of
-    block b occupies its first ceil(sum(widths[b])/8) bytes.
+    Returns dense (nb, 8, MAXB) uint8, MAXB = D * elem_sz; row r of block b
+    occupies its first ceil(sum(widths[b])/8) bytes.
     """
     nb, _, ndims = errs_zz.shape
     maxb = ndims * elem_sz
-    off = jnp.cumsum(widths, axis=1) - widths  # exclusive prefix (nb, D)
-    shift = (off & 7)[:, None, :]  # (nb, 1, D)
-    c = errs_zz << shift  # up to 23 bits
-    # 3 byte lanes per value
-    contrib = jnp.stack([(c >> (8 * k)) & 0xFF for k in range(3)], axis=-1)
-    byte_idx = (off >> 3)[:, None, :, None] + jnp.arange(3)[None, None, None, :]
-    byte_idx = jnp.broadcast_to(byte_idx, contrib.shape)
-    dense = _scatter_bytes(
-        contrib.reshape(nb, BLOCK_SZ, ndims * 3),
-        byte_idx.reshape(nb, BLOCK_SZ, ndims * 3),
-        maxb,
-    )
-    return dense.astype(jnp.uint8)
+    m = jnp.arange(maxb)
+
+    def chunk(errs_c, widths_c):
+        off = jnp.cumsum(widths_c, axis=1) - widths_c  # (c, D)
+        c = errs_c << (off & 7)[:, None, :]  # up to 23 bits
+        q = off >> 3
+        out = jnp.zeros((errs_c.shape[0], BLOCK_SZ, maxb), jnp.float32)
+        for k in range(3):
+            onehot = (q[:, :, None] + k == m[None, None, :])
+            byte_k = (c >> (8 * k)) & 0xFF
+            out = out + _matmul_exact(byte_k, onehot).astype(jnp.float32)
+        return out.astype(jnp.uint8)
+
+    return _chunked(chunk, nb, errs_zz, widths)
 
 
 def pack_dims_lowdim(errs_zz: jnp.ndarray, widths: jnp.ndarray,
@@ -69,35 +88,48 @@ def pack_dims_lowdim(errs_zz: jnp.ndarray, widths: jnp.ndarray,
     """
     nb, _, ndims = errs_zz.shape
     eb = 8 * elem_sz
-    bitoff = jnp.arange(BLOCK_SZ)[None, :, None] * widths[:, None, :]  # (nb,8,D)
-    c = errs_zz << (bitoff & 7)
-    contrib = jnp.stack([(c >> (8 * k)) & 0xFF for k in range(3)], axis=-1)
-    byte_idx = (bitoff >> 3)[..., None] + jnp.arange(3)[None, None, None, :]
-    # scatter over (sample, bytelane) per (block, dim)
-    contrib = contrib.transpose(0, 2, 1, 3).reshape(nb, ndims, BLOCK_SZ * 3)
-    byte_idx = byte_idx.transpose(0, 2, 1, 3).reshape(nb, ndims, BLOCK_SZ * 3)
-    dense = _scatter_bytes(contrib, byte_idx, eb)
-    return dense.astype(jnp.uint8)
+    m = jnp.arange(eb)
+
+    def chunk(errs_c, widths_c):
+        cb = errs_c.shape[0]
+        bitoff = jnp.arange(BLOCK_SZ)[None, :, None] * widths_c[:, None, :]
+        c = errs_c << (bitoff & 7)  # (c, 8, D)
+        q = bitoff >> 3
+        # batch over (block, dim): values axis = the 8 samples
+        c_t = c.transpose(0, 2, 1).reshape(cb * ndims, 1, BLOCK_SZ)
+        q_t = q.transpose(0, 2, 1).reshape(cb * ndims, BLOCK_SZ)
+        out = jnp.zeros((cb * ndims, 1, eb), jnp.float32)
+        for k in range(3):
+            onehot = (q_t[:, :, None] + k == m[None, None, :])
+            byte_k = (c_t >> (8 * k)) & 0xFF
+            out = out + _matmul_exact(byte_k, onehot).astype(jnp.float32)
+        return out.astype(jnp.uint8).reshape(cb, ndims, eb)
+
+    return _chunked(chunk, nb, errs_zz, widths)
 
 
-def unpack_rows_rowmajor(dense: jnp.ndarray, widths: jnp.ndarray) -> jnp.ndarray:
+def unpack_rows_rowmajor(dense: jnp.ndarray, widths: jnp.ndarray
+                         ) -> jnp.ndarray:
     """Extract per-dim fields from packed rows.
 
     dense: (nb, 8, MAXB) int32 bytes (payload rows, zero padded);
     widths: (nb, D) int32. Returns errs_zz (nb, 8, D) int32.
     """
-    nb, ndims = widths.shape
-    maxb = dense.shape[-1]
-    off = jnp.cumsum(widths, axis=1) - widths
-    byte_idx = (off >> 3)[:, None, :, None] + jnp.arange(3)[None, None, None, :]
-    byte_idx = jnp.clip(byte_idx, 0, maxb - 1)  # (nb, 1, D, 3)
-    byte_idx = jnp.broadcast_to(byte_idx, (nb, BLOCK_SZ, ndims, 3))
-    gathered = jnp.take_along_axis(dense[:, :, None, :], byte_idx, axis=3)
-    word = (gathered[..., 0] | (gathered[..., 1] << 8)
-            | (gathered[..., 2] << 16))
-    word = word >> (off & 7)[:, None, :]
-    mask = (1 << widths)[:, None, :] - 1
-    return word & mask
+    nb, _, maxb = dense.shape
+    ndims = widths.shape[1]
+    j = jnp.arange(maxb)
+
+    def chunk(dense_c, widths_c):
+        off = jnp.cumsum(widths_c, axis=1) - widths_c
+        q = off >> 3  # (c, D)
+        rel = j[None, None, :] - q[:, :, None]  # (c, D, MAXB)
+        w = jnp.where((rel >= 0) & (rel < 3),
+                      jnp.exp2(8.0 * rel.astype(jnp.float32)), 0.0)
+        word = _matmul_exact(dense_c, w.transpose(0, 2, 1))  # (c, 8, D)
+        word = word >> (off & 7)[:, None, :]
+        return word & ((1 << widths_c)[:, None, :] - 1)
+
+    return _chunked(chunk, nb, dense, widths)
 
 
 def unpack_dims_lowdim(dense: jnp.ndarray, widths: jnp.ndarray) -> jnp.ndarray:
@@ -107,12 +139,21 @@ def unpack_dims_lowdim(dense: jnp.ndarray, widths: jnp.ndarray) -> jnp.ndarray:
     Returns errs_zz (nb, 8, D) int32.
     """
     nb, ndims, eb = dense.shape
-    bitoff = jnp.arange(BLOCK_SZ)[None, :, None] * widths[:, None, :]  # (nb,8,D)
-    byte_idx = (bitoff >> 3)[..., None] + jnp.arange(3)[None, None, None, :]
-    byte_idx = jnp.clip(byte_idx, 0, eb - 1)  # (nb, 8, D, 3)
-    gathered = jnp.take_along_axis(dense[:, None, :, :], byte_idx, axis=3)
-    word = (gathered[..., 0] | (gathered[..., 1] << 8)
-            | (gathered[..., 2] << 16))
-    word = word >> (bitoff & 7)
-    mask = (1 << widths)[:, None, :] - 1
-    return word & mask
+    j = jnp.arange(eb)
+
+    def chunk(dense_c, widths_c):
+        cb = dense_c.shape[0]
+        bitoff = jnp.arange(BLOCK_SZ)[None, :, None] * widths_c[:, None, :]
+        q = bitoff >> 3  # (c, 8, D)
+        rel = j[None, None, None, :] - q[..., None]  # (c, 8, D, EB)
+        w = jnp.where((rel >= 0) & (rel < 3),
+                      jnp.exp2(8.0 * rel.astype(jnp.float32)), 0.0)
+        # word[b,r,d] = sum_j dense[b,d,j] * w[b,r,d,j]
+        d_t = dense_c.transpose(0, 2, 1)  # (c, EB, D)
+        word = jnp.einsum(
+            "cjd,crdj->crd", d_t.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        word = word >> (bitoff & 7)
+        return word & ((1 << widths_c)[:, None, :] - 1)
+
+    return _chunked(chunk, nb, dense, widths)

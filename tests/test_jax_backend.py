@@ -1,0 +1,47 @@
+"""JAX backend: byte-exactness vs golden and lossless round-trips."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from sprintz_tpu import decoder, encoder
+from sprintz_tpu.golden.lowdim import compress_lowdim_rle
+from sprintz_tpu.golden.rowmajor import compress_rowmajor_rle
+
+from conftest import make_stream
+
+
+@pytest.mark.parametrize("codec,elem_sz", itertools.product(
+    ["delta", "xff"], [1, 2]))
+def test_jax_matches_golden(rng, codec, elem_sz):
+    for ndims in [1, 3, 5, 16]:
+        for kind in ["rand", "small", "zeros", "sparse"]:
+            x = make_stream(rng, 500 * ndims, elem_sz, kind)
+            lowdim = ndims <= (4 if elem_sz == 1 else 2)
+            gold = (compress_lowdim_rle if lowdim else compress_rowmajor_rle)(
+                x, ndims, codec=codec)
+            mine = encoder.compress(x, ndims, codec=codec)
+            assert mine == gold, f"{codec}/{elem_sz}/{ndims}/{kind}"
+            dec = decoder.decompress(mine, codec=codec, elem_sz=elem_sz)
+            np.testing.assert_array_equal(dec, x)
+
+
+def test_forecaster_exactness(rng):
+    # JAX forecasters vs golden predictor state machines, incl. wraparound
+    import jax.numpy as jnp
+
+    from sprintz_tpu.golden.predictors import FirePredictor
+    from sprintz_tpu.models.forecasters import fire_decode, fire_encode
+
+    for elem_sz, trunc in [(1, True), (1, False), (2, True), (2, False)]:
+        eb = 8 * elem_sz
+        dt = np.uint8 if elem_sz == 1 else np.uint16
+        rows = make_stream(rng, 8 * 50 * 3, elem_sz, "rand").reshape(-1, 3)
+        p = FirePredictor(3, elem_sz, truncate_coeffs=trunc)
+        gold = np.concatenate(
+            [p.encode_block(rows[i * 8:(i + 1) * 8]) for i in range(50)])
+        mine = np.asarray(fire_encode(jnp.asarray(rows, jnp.int32), eb, trunc))
+        np.testing.assert_array_equal(mine, gold.astype(np.int32))
+        dec = np.asarray(fire_decode(jnp.asarray(mine, jnp.int32), eb, trunc))
+        np.testing.assert_array_equal(dec.astype(dt), rows)
