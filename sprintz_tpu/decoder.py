@@ -59,7 +59,26 @@ class StreamIndex:
 def walk_headers(buf: bytes, ngroups: int, ndims: int, elem_sz: int,
                  start: int = METADATA_LEN_RLE, lowdim: bool = False
                  ) -> StreamIndex:
-    """Sequential walk over group headers to index payloads and runs."""
+    """Sequential walk over group headers to index payloads and runs.
+
+    Uses the native C++ walker when available (native/sprintz_host.cpp);
+    the Python loop below is the reference implementation and fallback.
+    """
+    from .native_host import walk_headers_native
+
+    native = walk_headers_native(bytes(buf), start, ngroups, ndims, elem_sz,
+                                 lowdim)
+    if native is not None:
+        widths, offsets, out_rows, total_rows, tail_offset = native
+        return StreamIndex(
+            widths=widths, payload_offsets=offsets, out_rows=out_rows,
+            total_rows=total_rows, tail_offset=tail_offset)
+    return _walk_headers_py(buf, ngroups, ndims, elem_sz, start, lowdim)
+
+
+def _walk_headers_py(buf: bytes, ngroups: int, ndims: int, elem_sz: int,
+                     start: int = METADATA_LEN_RLE, lowdim: bool = False
+                     ) -> StreamIndex:
     hdr_bits = nbits_sz_bits(elem_sz)
     elem_bits = 8 * elem_sz
     total_header_bits = ndims * hdr_bits * GROUP_SZ_BLOCKS

@@ -140,7 +140,26 @@ class LowDimLayout:
         return errs_zz, pos
 
 
+class IdentityPredictor:
+    """Bitpack-only codec: values pass through unmodified (no zigzag)."""
+
+    def __init__(self, ndims: int, elem_sz: int):
+        self.ndims = ndims
+        self.udt = uint_dtype(elem_sz)
+
+    def encode_block(self, block: np.ndarray) -> np.ndarray:
+        return np.ascontiguousarray(block, dtype=self.udt)
+
+    def decode_block(self, errs: np.ndarray) -> np.ndarray:
+        return errs.astype(self.udt)
+
+    def decode_run(self, nblocks: int) -> np.ndarray:
+        return np.zeros((nblocks * BLOCK_SZ, self.ndims), dtype=self.udt)
+
+
 def make_predictor(codec: str, ndims: int, elem_sz: int, lowdim: bool = False):
+    if codec == "raw":
+        return IdentityPredictor(ndims, elem_sz)
     if codec == "delta":
         return DeltaPredictor(ndims, elem_sz)
     if codec == "xff":
@@ -149,6 +168,119 @@ def make_predictor(codec: str, ndims: int, elem_sz: int, lowdim: bool = False):
         # sprintz_xff_rle.cpp:209-221).
         return FirePredictor(ndims, elem_sz, truncate_coeffs=not lowdim)
     raise ValueError(f"unknown codec {codec!r}")
+
+
+def write_metadata_simple(length: int, ndims: int) -> bytes:
+    """6-byte header {u32 len, u16 ndims} LE (format.h:64-72)."""
+    return int(length).to_bytes(4, "little") + int(ndims).to_bytes(2, "little")
+
+
+def read_metadata_simple(buf: bytes) -> tuple[int, int]:
+    """Returns (len, ndims)."""
+    return (int.from_bytes(buf[0:4], "little"),
+            int.from_bytes(buf[4:6], "little"))
+
+
+def compress_simple(
+    src: np.ndarray,
+    ndims: int,
+    codec: str,
+    layout=RowMajorLayout,
+    write_size: bool = True,
+) -> bytes:
+    """Non-RLE codecs (sprintz_delta.cpp:64-381, :777-1010,
+    sprintz_xff.cpp:34-300): every group emits its two blocks, zero-width
+    or not; no run machinery. ``codec``: "raw" (bitpack only), "delta",
+    or "xff". The legacy xff variant uses an 8-byte
+    {u48 len, u16 ndims} header (sprintz_xff.cpp:64-69) instead of the
+    6-byte simple one."""
+    src = np.ascontiguousarray(src)
+    elem_sz = src.dtype.itemsize
+    n = src.size
+    hdr_bits = nbits_sz_bits(elem_sz)
+    elem_bits = 8 * elem_sz
+    block_elems = BLOCK_SZ * ndims
+    group_sz = block_elems * GROUP_SZ_BLOCKS
+    total_header_bytes = (ndims * hdr_bits * GROUP_SZ_BLOCKS + 7) // 8
+
+    out = bytearray()
+    if write_size:
+        if codec == "xff":
+            out += int(n).to_bytes(6, "little")
+            out += int(ndims).to_bytes(2, "little")
+        else:
+            out += write_metadata_simple(n, ndims)
+    if n < MIN_DATA_SIZE:
+        out += src.tobytes()
+        return bytes(out)
+
+    predictor = make_predictor(codec, ndims, elem_sz)
+    ngroups = n // group_sz
+    i = 0
+    for _g in range(ngroups):
+        header_pos = len(out)
+        out.extend(bytes(total_header_bytes))
+        header_acc = 0
+        hdr_bitpos = 0
+        for _b in range(GROUP_SZ_BLOCKS):
+            block = src[i : i + block_elems].reshape(BLOCK_SZ, ndims)
+            errs_zz = predictor.encode_block(block)
+            widths = layout.block_widths(errs_zz, elem_sz)
+            for w in widths.tolist():
+                h = w - (1 if w == elem_bits else 0)
+                header_acc |= h << hdr_bitpos
+                hdr_bitpos += hdr_bits
+            layout.emit_payload(out, errs_zz, widths)
+            i += block_elems
+        out[header_pos : header_pos + total_header_bytes] = (
+            header_acc.to_bytes(total_header_bytes, "little"))
+    out += src[i:].tobytes()
+    return bytes(out)
+
+
+def decompress_simple(
+    buf: bytes,
+    codec: str,
+    layout=RowMajorLayout,
+    elem_sz: int = 1,
+) -> np.ndarray:
+    """Inverse of compress_simple."""
+    if codec == "xff":
+        n = int.from_bytes(buf[0:6], "little")
+        ndims = int.from_bytes(buf[6:8], "little")
+        pos = 8
+    else:
+        n, ndims = read_metadata_simple(buf)
+        pos = 6
+    udt = uint_dtype(elem_sz)
+    if n < MIN_DATA_SIZE:
+        return np.frombuffer(buf, dtype=udt, count=n, offset=pos).copy()
+    hdr_bits = nbits_sz_bits(elem_sz)
+    elem_bits = 8 * elem_sz
+    group_sz = BLOCK_SZ * ndims * GROUP_SZ_BLOCKS
+    total_header_bytes = (ndims * hdr_bits * GROUP_SZ_BLOCKS + 7) // 8
+    predictor = make_predictor(codec, ndims, elem_sz)
+    ngroups = n // group_sz
+    chunks = []
+    for _g in range(ngroups):
+        header_acc = int.from_bytes(buf[pos : pos + total_header_bytes],
+                                    "little")
+        pos += total_header_bytes
+        hdr_bitpos = 0
+        for _b in range(GROUP_SZ_BLOCKS):
+            raw = [(header_acc >> (hdr_bitpos + d * hdr_bits))
+                   & ((1 << hdr_bits) - 1) for d in range(ndims)]
+            hdr_bitpos += ndims * hdr_bits
+            widths = np.array(
+                [elem_bits if h == elem_bits - 1 else h for h in raw],
+                dtype=np.int64)
+            errs_zz, pos = layout.parse_payload(buf, pos, widths, udt)
+            chunks.append(predictor.decode_block(errs_zz))
+    remaining = n - ngroups * group_sz
+    tail = np.frombuffer(buf, dtype=udt, count=remaining, offset=pos)
+    body = (np.concatenate(chunks).reshape(-1) if chunks
+            else np.empty(0, dtype=udt))
+    return np.concatenate([body.astype(udt, copy=False), tail])
 
 
 def compress_rle(

@@ -1,0 +1,112 @@
+"""ctypes loader for the native host runtime (native/sprintz_host.cpp).
+
+The planner and header walk are sequential per-block bookkeeping loops —
+the only host-side hot paths. They're compiled on demand with g++ into a
+cache directory; every entry point has a pure-Python fallback, and a
+shared test suite asserts native == Python on random streams.
+
+Set ``SPRINTZ_NO_NATIVE=1`` to force the Python implementations.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import pathlib
+import subprocess
+import tempfile
+
+import numpy as np
+
+_SRC = pathlib.Path(__file__).resolve().parent.parent / "native" / "sprintz_host.cpp"
+_lib = None
+_tried = False
+
+
+def _build() -> ctypes.CDLL | None:
+    if not _SRC.exists():
+        return None
+    src = _SRC.read_bytes()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    cache = pathlib.Path(
+        os.environ.get("SPRINTZ_NATIVE_CACHE",
+                       os.path.join(tempfile.gettempdir(), "sprintz_native")))
+    cache.mkdir(parents=True, exist_ok=True)
+    so = cache / f"sprintz_host_{tag}.so"
+    if not so.exists():
+        tmp = so.with_suffix(".tmp.so")
+        cmd = ["g++", "-std=c++17", "-O3", "-fPIC", "-shared",
+               str(_SRC), "-o", str(tmp)]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+        os.replace(tmp, so)
+    try:
+        return ctypes.CDLL(str(so))
+    except OSError:
+        return None
+
+
+def get_lib() -> ctypes.CDLL | None:
+    global _lib, _tried
+    if os.environ.get("SPRINTZ_NO_NATIVE"):
+        return None
+    if not _tried:
+        _tried = True
+        _lib = _build()
+    return _lib
+
+
+def build_plan_native(zero_flags: np.ndarray, n_elems: int, ndims: int,
+                      run_cmp_allows_equal: bool):
+    """Native build_plan; returns (kinds, values, ngroups, consumed, remaining)
+    or None if the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    zf = np.ascontiguousarray(zero_flags, dtype=np.uint8)
+    cap = 2 * max(zf.size, 1) + 4
+    kinds = np.empty(cap, dtype=np.int8)
+    values = np.empty(cap, dtype=np.int32)
+    meta = np.zeros(4, dtype=np.int64)
+    fn = lib.sprintz_build_plan
+    fn.restype = ctypes.c_int64
+    nslots = fn(
+        zf.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(n_elems),
+        ctypes.c_int32(ndims), ctypes.c_int32(int(run_cmp_allows_equal)),
+        kinds.ctypes.data_as(ctypes.c_void_p),
+        values.ctypes.data_as(ctypes.c_void_p),
+        meta.ctypes.data_as(ctypes.c_void_p))
+    assert nslots <= cap
+    return (kinds[:nslots].copy(), values[:nslots].copy(),
+            int(meta[1]), int(meta[2]), int(meta[3]))
+
+
+def walk_headers_native(buf: bytes, start: int, ngroups: int, ndims: int,
+                        elem_sz: int, lowdim: bool):
+    """Native walk_headers; returns (widths, offsets, out_rows, total_rows,
+    tail_offset) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    # pad by one byte: the walker reads one byte past each header region
+    data = np.frombuffer(buf + b"\x00", dtype=np.uint8)
+    ndata_max = int(ngroups) * 2
+    widths = np.empty((max(ndata_max, 1), ndims), dtype=np.int32)
+    offsets = np.empty(max(ndata_max, 1), dtype=np.int64)
+    out_rows = np.empty(max(ndata_max, 1), dtype=np.int64)
+    meta = np.zeros(3, dtype=np.int64)
+    fn = lib.sprintz_walk_headers
+    fn.restype = ctypes.c_int64
+    ndata = fn(
+        data.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(start),
+        ctypes.c_int64(ngroups), ctypes.c_int32(ndims),
+        ctypes.c_int32(elem_sz), ctypes.c_int32(int(lowdim)),
+        widths.ctypes.data_as(ctypes.c_void_p),
+        offsets.ctypes.data_as(ctypes.c_void_p),
+        out_rows.ctypes.data_as(ctypes.c_void_p),
+        meta.ctypes.data_as(ctypes.c_void_p))
+    return (widths[:ndata].copy(), offsets[:ndata].copy(),
+            out_rows[:ndata].copy(), int(meta[1]), int(meta[2]))

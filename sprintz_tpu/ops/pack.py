@@ -28,7 +28,7 @@ import numpy as np
 
 from ..constants import BLOCK_SZ
 
-_CHUNK = 2048  # blocks per one-hot chunk
+_CHUNK = 8192  # blocks per one-hot chunk
 
 
 def _chunked(fn, n_leading: int, *arrays):
@@ -123,8 +123,9 @@ def unpack_rows_rowmajor(dense: jnp.ndarray, widths: jnp.ndarray
         off = jnp.cumsum(widths_c, axis=1) - widths_c
         q = off >> 3  # (c, D)
         rel = j[None, None, :] - q[:, :, None]  # (c, D, MAXB)
-        w = jnp.where((rel >= 0) & (rel < 3),
-                      jnp.exp2(8.0 * rel.astype(jnp.float32)), 0.0)
+        w = jnp.where(rel == 0, 1.0,
+                      jnp.where(rel == 1, 256.0,
+                                jnp.where(rel == 2, 65536.0, 0.0)))
         word = _matmul_exact(dense_c, w.transpose(0, 2, 1))  # (c, 8, D)
         word = word >> (off & 7)[:, None, :]
         return word & ((1 << widths_c)[:, None, :] - 1)
@@ -146,8 +147,9 @@ def unpack_dims_lowdim(dense: jnp.ndarray, widths: jnp.ndarray) -> jnp.ndarray:
         bitoff = jnp.arange(BLOCK_SZ)[None, :, None] * widths_c[:, None, :]
         q = bitoff >> 3  # (c, 8, D)
         rel = j[None, None, None, :] - q[..., None]  # (c, 8, D, EB)
-        w = jnp.where((rel >= 0) & (rel < 3),
-                      jnp.exp2(8.0 * rel.astype(jnp.float32)), 0.0)
+        w = jnp.where(rel == 0, 1.0,
+                      jnp.where(rel == 1, 256.0,
+                                jnp.where(rel == 2, 65536.0, 0.0)))
         # word[b,r,d] = sum_j dense[b,d,j] * w[b,r,d,j]
         d_t = dense_c.transpose(0, 2, 1)  # (c, EB, D)
         word = jnp.einsum(

@@ -61,7 +61,29 @@ def build_plan(
     ``zero_flags[b]`` is True iff block b's zigzagged errors are all zero
     (given the forecaster state after blocks 0..b-1). The boundary
     comparator matches the codec variant (see stream.py docstring).
+
+    Uses the native C++ planner when available (native/sprintz_host.cpp);
+    the Python loop below is the reference implementation and fallback.
     """
+    from .native_host import build_plan_native
+
+    native = build_plan_native(
+        np.ascontiguousarray(zero_flags, np.uint8), n_elems, ndims,
+        run_cmp_allows_equal)
+    if native is not None:
+        kinds, values, ngroups, consumed, remaining = native
+        return EmissionPlan(kinds=kinds, values=values, ngroups=ngroups,
+                            consumed_blocks=consumed,
+                            remaining_elems=remaining)
+    return _build_plan_py(zero_flags, n_elems, ndims, run_cmp_allows_equal)
+
+
+def _build_plan_py(
+    zero_flags: np.ndarray,
+    n_elems: int,
+    ndims: int,
+    run_cmp_allows_equal: bool,
+) -> EmissionPlan:
     block_elems = BLOCK_SZ * ndims
     group_sz = block_elems * GROUP_SZ_BLOCKS
     last_start = n_elems - group_sz

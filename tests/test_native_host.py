@@ -1,0 +1,56 @@
+"""Native C++ host runtime == Python reference on random streams."""
+
+import numpy as np
+import pytest
+
+from sprintz_tpu import native_host
+from sprintz_tpu.decoder import _walk_headers_py, walk_headers
+from sprintz_tpu.golden.stream import read_metadata_rle
+from sprintz_tpu.planner import _build_plan_py
+
+from conftest import make_stream
+
+pytestmark = pytest.mark.skipif(
+    native_host.get_lib() is None, reason="native host lib unavailable")
+
+
+def test_build_plan_native_matches_py(rng):
+    for ndims in [1, 7]:
+        for trial in range(20):
+            nb = int(rng.integers(2, 400))
+            n = nb * 8 * ndims + int(rng.integers(0, 8 * ndims))
+            # random zero-flag patterns incl. long runs
+            zf = (rng.random(n // (8 * ndims) + 1) < rng.random()).astype(
+                np.uint8)
+            for eq in (False, True):
+                py = _build_plan_py(zf, n, ndims, eq)
+                nat = native_host.build_plan_native(zf, n, ndims, eq)
+                kinds, values, ngroups, consumed, remaining = nat
+                np.testing.assert_array_equal(kinds, py.kinds)
+                np.testing.assert_array_equal(values, py.values)
+                assert (ngroups, consumed, remaining) == (
+                    py.ngroups, py.consumed_blocks, py.remaining_elems)
+
+
+def test_walk_headers_native_matches_py(rng):
+    from sprintz_tpu import encoder
+
+    for codec in ("delta", "xff"):
+        for elem_sz in (1, 2):
+            for ndims in (1, 9):
+                lowdim = ndims <= (4 if elem_sz == 1 else 2)
+                x = make_stream(rng, 900 * ndims, elem_sz, "sparse")
+                buf = encoder.compress(x, ndims, codec=codec)
+                ngroups, remaining, nd = read_metadata_rle(buf)
+                if ngroups == 0:
+                    continue
+                py = _walk_headers_py(buf, ngroups, ndims, elem_sz,
+                                      lowdim=lowdim)
+                nat = walk_headers(buf, ngroups, ndims, elem_sz,
+                                   lowdim=lowdim)
+                np.testing.assert_array_equal(nat.widths, py.widths)
+                np.testing.assert_array_equal(
+                    nat.payload_offsets, py.payload_offsets)
+                np.testing.assert_array_equal(nat.out_rows, py.out_rows)
+                assert nat.total_rows == py.total_rows
+                assert nat.tail_offset == py.tail_offset
