@@ -131,8 +131,13 @@ if _have_jax:
     @functools.partial(jax.jit, static_argnames=(
         "codec", "elem_sz", "lowdim", "total_rows"))
     def _decode_pass(dense, widths, out_block_rows, codec, elem_sz, lowdim,
-                     total_rows):
-        """dense: (ndata, 8, MAXB) or (ndata, D, EB) int32 bytes."""
+                     total_rows, init_state=None):
+        """dense: (ndata, 8, MAXB) or (ndata, D, EB) int32 bytes.
+
+        ``init_state``: optional (3, D) int32 forecaster state entering the
+        stream slice (checkpoint.py): row 0 = prev value, rows 1-2 = FIRE
+        prev delta / counter.
+        """
         eb = 8 * elem_sz
         if lowdim:
             errs = unpack_dims_lowdim(dense, widths)
@@ -146,8 +151,11 @@ if _have_jax:
             errs.reshape(ndata * BLOCK_SZ, ndims), mode="drop")
         if codec == "delta":
             vals = delta_decode(full, eb)
+            if init_state is not None:
+                vals = (vals + init_state[0][None, :]) & ((1 << eb) - 1)
         else:
-            vals = fire_decode(full, eb, truncate_coeffs=not lowdim)
+            vals = fire_decode(full, eb, truncate_coeffs=not lowdim,
+                               init_state=init_state)
         return vals
 
 
@@ -187,6 +195,35 @@ def gather_payloads(buf: bytes, idx: StreamIndex, ndims: int, elem_sz: int,
         flat[np.repeat(unit_dst, unit_len) + q] = buf_np[
             np.repeat(unit_src, unit_len) + q]
     return dense
+
+
+def decode_indexed(buf: bytes, idx: StreamIndex, ndims: int, elem_sz: int,
+                   codec: str, init_state: np.ndarray | None = None,
+                   lowdim: bool = False) -> np.ndarray:
+    """Decode the rows covered by a StreamIndex (possibly a mid-stream
+    slice) with an optional initial forecaster state. Returns (rows, D)."""
+    import jax.numpy as jnp
+
+    ndata = idx.widths.shape[0]
+    dense = gather_payloads(buf, idx, ndims, elem_sz, lowdim)
+    if idx.total_rows == 0:
+        return np.zeros((0, ndims), np.uint8 if elem_sz == 1 else np.uint16)
+    nd_pad = next_bucket(max(ndata, 1))
+    rows_pad = next_bucket(idx.total_rows)
+    out_rows_p = np.full(nd_pad, rows_pad + BLOCK_SZ, dtype=np.int64)
+    out_rows_p[:ndata] = idx.out_rows  # walk starts its row count at 0
+    state = (jnp.zeros((3, ndims), jnp.int32) if init_state is None
+             else jnp.asarray(
+                 np.vstack([init_state,
+                            np.zeros((3 - init_state.shape[0], ndims))]
+                           ).astype(np.int32)))
+    vals = _decode_pass(
+        jnp.asarray(pad_rows(dense, nd_pad), jnp.int32),
+        jnp.asarray(pad_rows(idx.widths, nd_pad), jnp.int32),
+        jnp.asarray(out_rows_p, jnp.int32),
+        codec, elem_sz, lowdim, rows_pad, state)
+    udt = np.uint8 if elem_sz == 1 else np.uint16
+    return np.asarray(vals[: idx.total_rows]).astype(udt)
 
 
 def decompress(

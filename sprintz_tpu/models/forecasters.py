@@ -110,18 +110,34 @@ def _fire_block_step(carry, block_vals, *, elem_bits, truncate_coeffs, decode):
 
 
 def _fire_scan(vals_or_errs: jnp.ndarray, elem_bits: int,
-               truncate_coeffs: bool, decode: bool) -> jnp.ndarray:
-    """Scan FIRE over blocks. Input (nb, 8, ...) int32; output same shape."""
+               truncate_coeffs: bool, decode: bool,
+               init_state=None, return_states: bool = False):
+    """Scan FIRE over blocks. Input (nb, 8, ...) int32; output same shape.
+
+    ``init_state``: optional (prev_val, prev_delta, counter) carry — the
+    ``jump()`` analogue (online.hpp:126-132) enabling mid-stream entry.
+    ``return_states``: also return the carry BEFORE each block (nb, 3, ...),
+    for sidecar/checkpoint capture.
+    """
     # zeros derived from the input so the carry inherits any mesh-varying
     # axes when running under shard_map (scan carry types must match)
     zero = jnp.zeros_like(vals_or_errs[0, 0])
+    carry0 = (zero, zero, zero) if init_state is None else tuple(
+        jnp.asarray(s, jnp.int32) + zero for s in init_state)
     step = functools.partial(
         _fire_block_step, elem_bits=elem_bits,
         truncate_coeffs=truncate_coeffs, decode=decode)
+    if return_states:
+        def step_with_state(carry, block):
+            new_carry, out = step(carry, block)
+            return new_carry, (out, jnp.stack(carry))
+
+        _, (out, states) = jax.lax.scan(
+            step_with_state, carry0, vals_or_errs, unroll=8)
+        return out, states
     # unroll amortizes per-step scan overhead over 8 blocks (the carry
     # chain is the only sequential dependency)
-    _, out = jax.lax.scan(step, (zero, zero, zero), vals_or_errs,
-                          unroll=8)
+    _, out = jax.lax.scan(step, carry0, vals_or_errs, unroll=8)
     return out
 
 
@@ -134,10 +150,22 @@ def fire_encode(rows: jnp.ndarray, elem_bits: int,
                       ).reshape(rows.shape)
 
 
+def fire_encode_with_states(rows: jnp.ndarray, elem_bits: int,
+                            truncate_coeffs: bool = True):
+    """Like fire_encode, also returning the (nb, 3, D) carry before each
+    block (prev_val, prev_delta, counter) for checkpoint sidecars."""
+    nb = rows.shape[0] // BLOCK_SZ
+    blocks = rows.reshape(nb, BLOCK_SZ, *rows.shape[1:])
+    out, states = _fire_scan(blocks, elem_bits, truncate_coeffs,
+                             decode=False, return_states=True)
+    return out.reshape(rows.shape), states
+
+
 def fire_decode(errs_zz: jnp.ndarray, elem_bits: int,
-                truncate_coeffs: bool = True) -> jnp.ndarray:
+                truncate_coeffs: bool = True,
+                init_state=None) -> jnp.ndarray:
     """errs_zz: (N, D) int32 zigzag errors -> unsigned values (N, D) int32."""
     nb = errs_zz.shape[0] // BLOCK_SZ
     blocks = errs_zz.reshape(nb, BLOCK_SZ, *errs_zz.shape[1:])
-    return _fire_scan(blocks, elem_bits, truncate_coeffs, decode=True
-                      ).reshape(errs_zz.shape)
+    return _fire_scan(blocks, elem_bits, truncate_coeffs, decode=True,
+                      init_state=init_state).reshape(errs_zz.shape)

@@ -1,0 +1,47 @@
+"""Seekable streams: sidecar capture + mid-stream decode (jump() analogue)."""
+
+import numpy as np
+import pytest
+
+from sprintz_tpu.checkpoint import Sidecar, compress_with_sidecar, decode_range
+
+from conftest import make_stream
+
+
+@pytest.mark.parametrize("codec", ["delta", "xff"])
+def test_decode_range_matches_full(rng, codec):
+    D = 9
+    nrows = 5000
+    rows = make_stream(rng, nrows * D, 1, "sparse").reshape(nrows, D)
+    stream, sc = compress_with_sidecar(
+        rows.reshape(-1), D, codec=codec, every_groups=16)
+    sc = Sidecar.from_bytes(sc.to_bytes())  # serialization round trip
+    for start, n in [(0, 64), (997, 400), (2500, 1000), (4800, 150)]:
+        got = decode_range(stream, sc, start, n)
+        exp = rows[start : start + n]
+        np.testing.assert_array_equal(got[: len(exp)], exp)
+
+
+def test_stream_is_byte_exact_with_sidecar(rng):
+    from sprintz_tpu import encoder
+
+    x = make_stream(rng, 3000, 1, "small")
+    stream, _ = compress_with_sidecar(x, 1, codec="delta")
+    # building a sidecar must not change the stream bytes...
+    # (ndims=1 dispatches to lowdim in the plain API; force rowmajor both)
+    assert stream == encoder.compress(x, 1, codec="delta")
+
+
+def test_chunk_parallel_decode(rng):
+    # several workers each decode their own range; concatenation == full
+    codec = "xff"
+    D = 4
+    nrows = 4096
+    rows = make_stream(rng, nrows * D, 1, "sparse").reshape(nrows, D)
+    stream, sc = compress_with_sidecar(
+        rows.reshape(-1), D, codec=codec, every_groups=8)
+    chunk = 1024
+    parts = [decode_range(stream, sc, s, chunk)
+             for s in range(0, nrows, chunk)]
+    got = np.concatenate([p[:chunk] for p in parts])
+    np.testing.assert_array_equal(got[:nrows], rows)

@@ -1,0 +1,93 @@
+"""DataFrame pipeline: quantization, codec chains, squeeze drivers."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sprintz_tpu.frames import (
+    ByteShuffle,
+    CodecSearch,
+    Delta,
+    DoubleDelta,
+    DynamicDelta,
+    Lzma,
+    Quantize,
+    Sprintz,
+    Zigzag,
+    Zlib,
+    dequantize,
+    encode,
+    decode,
+    encode_measure_decode,
+    infer_qparams,
+    quantize,
+)
+
+
+def make_df(rng):
+    n = 2000
+    return pd.DataFrame({
+        "walk16": (np.cumsum(rng.integers(-3, 4, n)) & 0xFFFF).astype(np.uint16),
+        "small8": rng.integers(0, 5, n).astype(np.uint8),
+        "wide32": np.cumsum(rng.integers(-100, 101, n)).astype(np.int32),
+        "price": np.round(rng.normal(100, 5, n), 2),
+        "flags": rng.integers(0, 2, n).astype(np.uint8),
+    })
+
+
+def test_lossless_base10_quantization(rng):
+    x = np.round(rng.normal(50, 10, 5000), 3)
+    p = infer_qparams(x)
+    assert p is not None and p.scale == 1000.0
+    np.testing.assert_array_equal(dequantize(quantize(x, p), p), x)
+
+
+def test_quantization_with_nans(rng):
+    x = np.round(rng.normal(0, 1, 1000), 2)
+    x[::17] = np.nan
+    p = infer_qparams(x)
+    assert not p.allfinite
+    back = dequantize(quantize(x, p), p)
+    np.testing.assert_array_equal(back, x)  # NaN == NaN via array_equal? no
+    assert np.array_equal(back, x, equal_nan=True)
+
+
+@pytest.mark.parametrize("chain", [
+    [Delta(), Zigzag()],
+    [DoubleDelta(), Zigzag()],
+    [DynamicDelta()],
+    [ByteShuffle()],
+    [Quantize(), Delta()],
+    [CodecSearch()],
+    [Quantize(), Zlib()],
+    [Lzma()],
+])
+def test_chain_roundtrip(rng, chain):
+    df = make_df(rng)
+    res = encode_measure_decode({"d": df}, chain)
+    assert res.lossless, type(chain[0]).__name__
+
+
+def test_sprintz_column_codec(rng):
+    df = make_df(rng)[["walk16", "small8"]]
+    res = encode_measure_decode({"d": df}, [Sprintz("delta")])
+    assert res.lossless
+    assert res.ratio > 1.5  # both columns are highly compressible
+
+
+def test_full_pipeline_compresses(rng):
+    df = make_df(rng)
+    res = encode_measure_decode(
+        {"d": df}, [Quantize(), DynamicDelta(), Zigzag(), Zlib()])
+    assert res.lossless
+    assert res.ratio > 1.5
+
+
+def test_multi_frame_headers(rng):
+    dfs = {"a": make_df(rng), "b": make_df(rng)}
+    enc, headers = encode(dfs, [Delta(), Zigzag()])
+    dec = decode(enc, headers, [Delta(), Zigzag()])
+    for name in dfs:
+        for c in dfs[name].columns:
+            np.testing.assert_array_equal(
+                dec[name][c], dfs[name][c].to_numpy())
