@@ -1,0 +1,75 @@
+"""Corpus benchmark: compression ratios + throughput across the evaluation
+corpus profiles, for both codecs and elem sizes, with optional byte-level
+comparison against a locally compiled reference build.
+
+Usage:  python bench_corpus.py [--nrows N] [--quick]
+Prints a table to stdout; no driver JSON (see bench.py for that).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nrows", type=int, default=50_000)
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    from sprintz_tpu import api
+    from sprintz_tpu.data import CORPUS_PROFILES, load_dataset
+
+    sys.path.insert(0, "tests")
+    try:
+        import oracle
+        have_oracle = oracle.available()
+    except ImportError:
+        have_oracle = False
+
+    names = list(CORPUS_PROFILES)
+    if args.quick:
+        names = names[:2]
+
+    print(f"{'corpus':14s} {'dtype':7s} {'codec':6s} {'ratio':>7s} "
+          f"{'+huf':>7s} {'enc MB/s':>9s} {'dec MB/s':>9s} {'ref?':>5s}")
+    for name in names:
+        for dtype in (np.uint8, np.uint16):
+            data = load_dataset(name, dtype=dtype, nrows=args.nrows)
+            ndims = data.shape[1]
+            flat = data.reshape(-1)
+            for codec in ("delta", "xff"):
+                sc = api.SprintzCodec(codec, flat.dtype.itemsize)
+                t0 = time.perf_counter()
+                buf = sc.compress(data)
+                t_enc = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                out = sc.decompress(buf)
+                t_dec = time.perf_counter() - t0
+                assert np.array_equal(out, flat), f"roundtrip {name} {codec}"
+                ratio = flat.nbytes / len(buf)
+                huf = api.SprintzCodec(codec, flat.dtype.itemsize,
+                                       entropy="huffman")
+                ratio_huf = flat.nbytes / len(huf.compress(data))
+
+                ref_note = "-"
+                if have_oracle:
+                    refname = (f"sprintz_compress_{codec}_"
+                               f"{8 * flat.dtype.itemsize}b")
+                    rbuf, rmin = oracle.ref_compress(refname, flat, ndims)
+                    ref_note = "==" if (
+                        rmin <= len(buf) <= len(rbuf)
+                        and buf == rbuf[: len(buf)]) else "DIFF"
+
+                print(f"{name:14s} {np.dtype(dtype).name:7s} {codec:6s} "
+                      f"{ratio:7.2f} {ratio_huf:7.2f} "
+                      f"{flat.nbytes / t_enc / 1e6:9.1f} "
+                      f"{flat.nbytes / t_dec / 1e6:9.1f} {ref_note:>5s}")
+
+
+if __name__ == "__main__":
+    main()
