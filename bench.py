@@ -90,8 +90,8 @@ def main():
     rows_pad = next_bucket(idx.total_rows)
     out_rows = np.full(nd_pad, rows_pad + 8, dtype=np.int64)
     out_rows[: dense.shape[0]] = idx.out_rows
-    dense_j = jnp.asarray(pad_rows(dense, nd_pad), jnp.int32)
-    widths_j = jnp.asarray(pad_rows(idx.widths, nd_pad), jnp.int32)
+    dense_j = jnp.asarray(pad_rows(dense, nd_pad))
+    widths_j = jnp.asarray(pad_rows(idx.widths, nd_pad))
     out_rows_j = jnp.asarray(out_rows, jnp.int32)
 
     def decode_kernel(d, w, o):

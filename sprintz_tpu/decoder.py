@@ -139,6 +139,8 @@ if _have_jax:
         prev delta / counter.
         """
         eb = 8 * elem_sz
+        dense = dense.astype(jnp.int32)  # transferred as u8, computed wide
+        widths = widths.astype(jnp.int32)
         if lowdim:
             errs = unpack_dims_lowdim(dense, widths)
         else:
@@ -218,8 +220,8 @@ def decode_indexed(buf: bytes, idx: StreamIndex, ndims: int, elem_sz: int,
                             np.zeros((3 - init_state.shape[0], ndims))]
                            ).astype(np.int32)))
     vals = _decode_pass(
-        jnp.asarray(pad_rows(dense, nd_pad), jnp.int32),
-        jnp.asarray(pad_rows(idx.widths, nd_pad), jnp.int32),
+        jnp.asarray(pad_rows(dense, nd_pad)),
+        jnp.asarray(pad_rows(idx.widths, nd_pad)),
         jnp.asarray(out_rows_p, jnp.int32),
         codec, elem_sz, lowdim, rows_pad, state)
     udt = np.uint8 if elem_sz == 1 else np.uint16

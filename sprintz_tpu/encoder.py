@@ -55,6 +55,7 @@ if _have_jax:
         N divisible by 8. Returns per-block arrays for all N//8 blocks.
         """
         eb = 8 * elem_sz
+        rows = rows.astype(jnp.int32)  # transferred narrow, computed wide
         if codec == "delta":
             errs = delta_encode(rows, eb)
         else:
@@ -103,8 +104,7 @@ def compress(
     nb_max = n // block_elems
     nb_pad = next_bucket(nb_max)
     rows = pad_rows(
-        flat[: nb_max * block_elems].reshape(-1, ndims).astype(np.int32),
-        nb_pad * BLOCK_SZ)
+        flat[: nb_max * block_elems].reshape(-1, ndims), nb_pad * BLOCK_SZ)
 
     widths, hdr, dense, width_sums = _encode_pass(
         jnp.asarray(rows), codec, elem_sz, lowdim)

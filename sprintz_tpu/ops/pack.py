@@ -22,6 +22,8 @@ intermediates.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -29,6 +31,10 @@ import numpy as np
 from ..constants import BLOCK_SZ
 
 _CHUNK = 8192  # blocks per one-hot chunk
+
+# opt-in Pallas kernels (ops/pallas_pack.py); measured at parity with the
+# XLA matmul path on v5e so far — flip the default when they win
+_USE_PALLAS = os.environ.get("SPRINTZ_USE_PALLAS") == "1"
 
 
 def _chunked(fn, n_leading: int, *arrays):
@@ -61,6 +67,10 @@ def pack_rows_rowmajor(errs_zz: jnp.ndarray, widths: jnp.ndarray,
     Returns dense (nb, 8, MAXB) uint8, MAXB = D * elem_sz; row r of block b
     occupies its first ceil(sum(widths[b])/8) bytes.
     """
+    if _USE_PALLAS:
+        from .pallas_pack import pack_rows_pallas
+
+        return pack_rows_pallas(errs_zz, widths, elem_sz)
     nb, _, ndims = errs_zz.shape
     maxb = ndims * elem_sz
     m = jnp.arange(maxb)
@@ -115,6 +125,10 @@ def unpack_rows_rowmajor(dense: jnp.ndarray, widths: jnp.ndarray
     dense: (nb, 8, MAXB) int32 bytes (payload rows, zero padded);
     widths: (nb, D) int32. Returns errs_zz (nb, 8, D) int32.
     """
+    if _USE_PALLAS:
+        from .pallas_pack import unpack_rows_pallas
+
+        return unpack_rows_pallas(dense, widths)
     nb, _, maxb = dense.shape
     ndims = widths.shape[1]
     j = jnp.arange(maxb)

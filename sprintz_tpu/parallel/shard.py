@@ -147,6 +147,54 @@ def dp_delta_decode(mesh: Mesh, dense: np.ndarray, widths: np.ndarray,
 # --------------------------------------------------------------- full step
 
 
+def dp_compress(mesh: Mesh, flat: np.ndarray, ndims: int,
+                codec: str = "delta") -> bytes:
+    """Multi-chip encode producing the byte-exact single-stream output.
+
+    Blocks are sharded across the mesh; forecaster boundary state rides
+    ``ppermute`` (delta), so the per-block errors/widths equal the
+    single-chip pass. The emission plan (RLE runs can cross shard
+    boundaries) and final layout run on host over the gathered per-block
+    summaries — the "ordered gather of packed shards" of the north star.
+
+    For "delta" the result is byte-identical to ``encoder.compress``.
+    For "xff" shards are independent streams (the coefficient recurrence
+    does not cross chips), so use per-shard streams + checkpoint sidecars
+    for exact multi-chip FIRE.
+    """
+    from .. import encoder as _enc
+    from ..constants import MIN_DATA_SIZE, nbits_sz_bits
+    from ..golden.stream import write_metadata_rle
+    from ..planner import build_plan
+
+    flat = np.ascontiguousarray(flat)
+    elem_sz = flat.dtype.itemsize
+    n = flat.size
+    if n < MIN_DATA_SIZE:
+        return write_metadata_rle(0, n, ndims) + flat.tobytes()
+    n_dev = mesh.devices.size
+    block_elems = BLOCK_SZ * ndims
+    nb_max = n // block_elems
+    # pad blocks to a multiple of the mesh so every real block is encoded
+    # (padding rows are zeros at the end and never referenced by the plan)
+    nb_pad = -(-nb_max // n_dev) * n_dev
+    rows = np.zeros((nb_pad * BLOCK_SZ, ndims), dtype=np.int32)
+    rows[: nb_max * BLOCK_SZ] = flat[: nb_max * block_elems].reshape(
+        -1, ndims)
+
+    dense, widths, hdr, sizes, offsets = dp_encode(
+        mesh, rows, elem_sz, codec)
+    widths_np = np.asarray(widths)
+    hdr_np = np.asarray(hdr).astype(np.uint8)
+    dense_np = np.asarray(dense)
+    zero_flags = np.asarray(widths_np.sum(axis=1) == 0)[:nb_max]
+
+    plan = build_plan(zero_flags, n, ndims, codec == "xff")
+    return _enc.assemble_stream(
+        plan, widths_np, hdr_np, dense_np, ndims, elem_sz, False,
+        flat[n - plan.remaining_elems:])
+
+
 def training_step(mesh: Mesh, rows: np.ndarray, elem_sz: int = 1,
                   codec: str = "delta"):
     """One full sharded encode->decode round-trip step (the framework's

@@ -94,8 +94,8 @@ def query(
     out_rows_p = np.full(nd_pad, rows_pad + 8, dtype=np.int64)
     out_rows_p[:ndata] = idx.out_rows
     vals = _dec._decode_pass(
-        jnp.asarray(pad_rows(dense, nd_pad), jnp.int32),
-        jnp.asarray(pad_rows(idx.widths, nd_pad), jnp.int32),
+        jnp.asarray(pad_rows(dense, nd_pad)),
+        jnp.asarray(pad_rows(idx.widths, nd_pad)),
         jnp.asarray(out_rows_p, jnp.int32),
         codec, elem_sz, lowdim, rows_pad)
     vals = vals[: idx.total_rows]

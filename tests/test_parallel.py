@@ -46,3 +46,15 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert all(np.asarray(o) is not None for o in out)
     ge.dryrun_multichip(min(8, len(jax.devices())))
+
+
+def test_dp_compress_byte_exact(rng, mesh8):
+    from sprintz_tpu import encoder
+    from sprintz_tpu.parallel import shard
+
+    for D, n_rows in [(16, 4096), (9, 2000)]:
+        x = np.where(rng.random((n_rows, D)) < 0.1,
+                     rng.integers(0, 60, (n_rows, D)), 0).astype(np.uint8)
+        flat = x.reshape(-1)
+        multi = shard.dp_compress(mesh8, flat, D, codec="delta")
+        assert multi == encoder.compress(flat, D, codec="delta")
