@@ -28,7 +28,8 @@ import heapq
 import numpy as np
 
 MAX_CODE_LEN = 12
-DEFAULT_CHUNK_SYMBOLS = 1 << 14
+# smaller chunks = more decode lanes and fewer sequential steps
+DEFAULT_CHUNK_SYMBOLS = 1 << 12
 
 
 @dataclasses.dataclass
@@ -147,38 +148,43 @@ def _unpack_table(buf: bytes) -> HuffmanTable:
     return HuffmanTable(lengths=lengths, codes=_canonical_codes(lengths))
 
 
-def _encode_chunk(symbols: np.ndarray, t: HuffmanTable) -> bytes:
-    """Vectorized bit emission: expand each code to its bits, packbits."""
-    lens = t.lengths[symbols].astype(np.int64)
-    codes = t.codes[symbols].astype(np.int64)
-    total_bits = int(lens.sum())
-    # LSB-first bits of every code, masked to its length, at its offset
-    bits = np.zeros(total_bits + 8, dtype=np.uint8)
-    offs = np.cumsum(lens) - lens
-    k = np.arange(MAX_CODE_LEN)
-    bitmat = ((codes[:, None] >> k[None, :]) & 1).astype(np.uint8)
-    valid = k[None, :] < lens[:, None]
-    tgt = offs[:, None] + k[None, :]
-    bits[tgt[valid]] = bitmat[valid]
-    return np.packbits(
-        bits[: ((total_bits + 7) // 8) * 8], bitorder="little").tobytes()
-
-
 def huff_compress(data: np.ndarray | bytes,
                   chunk_symbols: int = DEFAULT_CHUNK_SYMBOLS,
                   table: HuffmanTable | None = None) -> bytes:
+    """Vectorized over all chunks at once: per-symbol code bits are
+    expanded into a (nchunks, max_chunk_bits) bit matrix (LSB-first) and
+    packed per chunk with np.packbits."""
     arr = np.frombuffer(data, dtype=np.uint8) if isinstance(
         data, (bytes, bytearray)) else np.asarray(data, dtype=np.uint8)
     t = build_table(arr) if table is None else table
     n = arr.size
     nchunks = max(1, -(-n // chunk_symbols))
-    payloads = [
-        _encode_chunk(arr[c * chunk_symbols : (c + 1) * chunk_symbols], t)
-        for c in range(nchunks)
-    ]
+    padded_n = nchunks * chunk_symbols
+    lens = np.zeros(padded_n, dtype=np.int64)
+    codes = np.zeros(padded_n, dtype=np.int64)
+    lens[:n] = t.lengths[arr]
+    codes[:n] = t.codes[arr]
+    lens2 = lens.reshape(nchunks, chunk_symbols)
+    offs = np.cumsum(lens2, axis=1) - lens2  # per-chunk bit offsets
+    chunk_bits = offs[:, -1] + lens2[:, -1]
+    max_bits = int(chunk_bits.max()) if n else 0
+    width = ((max_bits + 7) // 8) * 8 + 8
+    bits = np.zeros(nchunks * width, dtype=np.uint8)
+    # flat 1-D targets; one vectorized pass per code-bit position (total
+    # work is sum(lens), not nchunks*chunk_symbols*12)
+    flat_base = (np.arange(nchunks, dtype=np.int64)[:, None] * width
+                 + offs).reshape(-1)
+    lens_flat = lens2.reshape(-1)
+    maxlen = int(lens_flat.max()) if n else 0
+    for k in range(maxlen):
+        sel = np.nonzero(lens_flat > k)[0]
+        bits[flat_base[sel] + k] = (codes[sel] >> k) & 1
+    bits = bits.reshape(nchunks, width)
+    packed = np.packbits(bits, axis=1, bitorder="little")
+    sizes = ((chunk_bits + 7) // 8).astype(np.uint32)
+    payloads = [packed[c, : sizes[c]].tobytes() for c in range(nchunks)]
     head = (np.array([n, chunk_symbols, nchunks], dtype=np.uint32).tobytes()
-            + _pack_table(t)
-            + np.array([len(p) for p in payloads], dtype=np.uint32).tobytes())
+            + _pack_table(t) + sizes.tobytes())
     return head + b"".join(payloads)
 
 
@@ -207,24 +213,28 @@ def huff_decompress(buf: bytes, use_jax: bool = True) -> np.ndarray:
 
 
 def _decode_np(buf, n, chunk_symbols, nchunks, t, sizes, offsets):
+    """Chunk-vectorized decode: all chunks advance one symbol per step."""
     sym_lut, len_lut = t.decode_lut()
-    out = np.empty(n, dtype=np.uint8)
     data = np.frombuffer(buf, dtype=np.uint8)
+    maxb = int(sizes.max()) + 4 if nchunks else 4
+    dense = np.zeros((nchunks, maxb), dtype=np.int64)
     for c in range(nchunks):
-        start = int(offsets[c])
-        nsyms = min(chunk_symbols, n - c * chunk_symbols)
-        chunk = data[start : start + int(sizes[c])]
-        padded = np.concatenate([chunk, np.zeros(4, np.uint8)]).astype(np.uint64)
-        bitpos = 0
-        base = c * chunk_symbols
-        for i in range(nsyms):
-            byte = bitpos >> 3
-            window = (padded[byte] | (padded[byte + 1] << 8)
-                      | (padded[byte + 2] << 16)) >> np.uint64(bitpos & 7)
-            peek = int(window) & 0xFFF
-            out[base + i] = sym_lut[peek]
-            bitpos += int(len_lut[peek])
-    return out
+        dense[c, : int(sizes[c])] = data[
+            int(offsets[c]) : int(offsets[c]) + int(sizes[c])]
+    rows = np.arange(nchunks)
+    bitpos = np.zeros(nchunks, dtype=np.int64)
+    syms = np.empty((nchunks, chunk_symbols), dtype=np.uint8)
+    sym_lut_i = sym_lut.astype(np.uint8)
+    len_lut_i = len_lut.astype(np.int64)
+    for i in range(chunk_symbols):
+        # clamp: the final chunk keeps stepping past its own payload
+        byte = np.minimum(bitpos >> 3, maxb - 3)
+        w = (dense[rows, byte] | (dense[rows, byte + 1] << 8)
+             | (dense[rows, byte + 2] << 16))
+        peek = (w >> (bitpos & 7)) & 0xFFF
+        syms[:, i] = sym_lut_i[peek]
+        bitpos += len_lut_i[peek]
+    return syms.reshape(-1)[:n]
 
 
 def _decode_jax(buf, n, chunk_symbols, nchunks, t, sizes, offsets):

@@ -34,19 +34,24 @@ def delta_encode(rows: jnp.ndarray, elem_bits: int) -> jnp.ndarray:
 
 
 def hierarchical_cumsum(x: jnp.ndarray, chunk: int = 512) -> jnp.ndarray:
-    """Two-level inclusive prefix sum along axis 0.
+    """Two-level inclusive prefix sum along axis 0 of (N, D) int arrays.
 
-    A monolithic long-axis cumsum costs XLA O(log N) full-array passes;
-    chunking does one intra-chunk pass plus a small chunk-totals scan —
-    ~3 passes of HBM traffic regardless of N.
+    A monolithic long-axis cumsum costs XLA O(log N) full-array HBM
+    passes. Here the intra-chunk prefix is ONE pass: a lower-triangular
+    f32 matmul on the MXU (exact: |chunk sums| of i8/i16 deltas stay far
+    below 2^24), plus a tiny cross-chunk offset scan.
     """
     n = x.shape[0]
     if n <= chunk:
         return jnp.cumsum(x, axis=0, dtype=jnp.int32)
     pad = (-n) % chunk
     xp = jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
-    c = xp.reshape(-1, chunk, *x.shape[1:])
-    inner = jnp.cumsum(c, axis=1, dtype=jnp.int32)
+    c = xp.reshape(-1, chunk, *x.shape[1:]).astype(jnp.float32)
+    tri = jnp.tril(jnp.ones((chunk, chunk), jnp.float32))
+    inner = jax.lax.dot_general(
+        tri, c, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (chunk, nchunks, D)
+    inner = jnp.moveaxis(inner, 0, 1).astype(jnp.int32)  # (nchunks, chunk, D)
     totals = inner[:, -1]
     offsets = jnp.cumsum(totals, axis=0, dtype=jnp.int32) - totals
     out = inner + offsets[:, None]
