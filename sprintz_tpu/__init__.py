@@ -16,7 +16,7 @@ Layers:
 - ``sprintz_tpu.data``     corpus loaders and quantizers
 """
 
-from .api import SprintzCodec, compress, decompress  # noqa: F401
+from .api import CorruptStreamError, SprintzCodec, compress, decompress  # noqa: F401
 from .constants import CodecConfig, DEFAULT_CONFIG  # noqa: F401
 
 __version__ = "0.1.0"

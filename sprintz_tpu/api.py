@@ -23,6 +23,10 @@ from .golden import rowmajor as _golden_rowmajor
 from .golden import lowdim as _golden_lowdim
 
 
+class CorruptStreamError(ValueError):
+    """A compressed stream is truncated or internally inconsistent."""
+
+
 @dataclasses.dataclass(frozen=True)
 class SprintzCodec:
     """A configured Sprintz codec.
@@ -91,12 +95,26 @@ class SprintzCodec:
         return _golden_rowmajor.compress_rowmajor_rle(flat, ndims, codec=self.codec)
 
     def decompress(self, buf: bytes) -> np.ndarray:
-        """Decompress a stream; returns the flat row-major element array."""
+        """Decompress a stream; returns the flat row-major element array.
+
+        Raises ``CorruptStreamError`` when the buffer is truncated or its
+        metadata is inconsistent (the format itself carries no checksums,
+        matching the reference)."""
         if self.entropy == "huffman":
             from .entropy import huff_decompress
 
             buf = huff_decompress(buf).tobytes()
+        if len(buf) < 8:
+            raise CorruptStreamError(
+                f"stream shorter than its 8-byte metadata ({len(buf)} bytes)")
         ngroups, remaining_len, ndims = _golden_rowmajor.read_metadata_rle(buf)
+        if ndims == 0 and not (ngroups == 0 and remaining_len == 0):
+            raise CorruptStreamError("metadata declares 0 dims")
+        min_len = 8 + remaining_len * self.elem_sz
+        if len(buf) < min_len:
+            raise CorruptStreamError(
+                f"stream truncated: {len(buf)} bytes < minimum {min_len} "
+                f"implied by metadata")
         if self.backend in ("auto", "jax"):
             try:
                 from . import decoder as _jax_decoder
