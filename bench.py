@@ -31,12 +31,20 @@ def devloop_time(kernel, args, iters, vary=0):
 
     @jax.jit
     def loop(*a):
-        def body(i, acc):
+        # the varied arg rides the loop carry so its single-element
+        # perturbation is an in-place dynamic-update-slice, not a copy;
+        # this defeats loop-invariant hoisting at ~zero per-iter cost
+        def body(i, st):
+            arr, acc = st
+            flat = arr.reshape(-1)
+            arr = flat.at[0].set(flat[0] ^ (i & 1)).reshape(arr.shape)
             aa = list(a)
-            aa[vary] = aa[vary] ^ i  # defeat loop-invariant hoisting
+            aa[vary] = arr
             out = kernel(*aa)
-            return acc + jax.tree_util.tree_leaves(out)[0].reshape(-1)[0]
-        return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+            return arr, acc + jax.tree_util.tree_leaves(out)[0].reshape(-1)[0]
+
+        _, acc = jax.lax.fori_loop(0, iters, body, (a[vary], jnp.int32(0)))
+        return acc
 
     r = loop(*args)
     r.block_until_ready()

@@ -121,6 +121,58 @@ def compress(
     return stream
 
 
+def compress_batch(
+    streams: np.ndarray,
+    codec: str = "delta",
+    force_layout: str | None = None,
+) -> list[bytes]:
+    """Compress S same-shape streams in one device pass.
+
+    streams: (S, total_rows, D). The forecaster/pack pass is vmapped over
+    the batch (FIRE's scan then runs S*D lanes wide — the throughput axis,
+    SURVEY §5), while per-stream planning/assembly stays on host. Each
+    returned stream is byte-identical to compressing it alone.
+    """
+    if not _have_jax:
+        raise RuntimeError("jax unavailable")
+    streams = np.ascontiguousarray(streams)
+    S, nrows, ndims = streams.shape
+    elem_sz = streams.dtype.itemsize
+    n = nrows * ndims
+    if force_layout is None:
+        lowdim = ndims <= LOWDIM_MAX_NDIMS[elem_sz]
+    else:
+        lowdim = force_layout == "lowdim"
+    if n < MIN_DATA_SIZE:
+        return [write_metadata_rle(0, n, ndims) + s.tobytes()
+                for s in streams]
+
+    nb_max = nrows // BLOCK_SZ
+    nb_pad = next_bucket(nb_max)
+    rows = np.zeros((S, nb_pad * BLOCK_SZ, ndims), dtype=streams.dtype)
+    rows[:, : nb_max * BLOCK_SZ] = streams[:, : nb_max * BLOCK_SZ]
+
+    batched = jax.jit(
+        jax.vmap(lambda r: _encode_pass.__wrapped__(
+            r, codec, elem_sz, lowdim)),
+        static_argnames=())
+    widths, hdr, dense, width_sums = batched(jnp.asarray(rows))
+    widths_np = np.asarray(widths)
+    hdr_np = np.asarray(hdr).astype(np.uint8)
+    dense_np = np.asarray(dense)
+    zero_np = np.asarray(width_sums) == 0
+
+    out = []
+    run_cmp_allows_equal = codec == "xff" and not lowdim
+    for s in range(S):
+        plan = build_plan(zero_np[s, :nb_max], n, ndims,
+                          run_cmp_allows_equal)
+        out.append(assemble_stream(
+            plan, widths_np[s], hdr_np[s], dense_np[s], ndims, elem_sz,
+            lowdim, streams[s].reshape(-1)[n - plan.remaining_elems:]))
+    return out
+
+
 def assemble_stream(plan, widths_np, hdr_np, dense_np, ndims, elem_sz,
                     lowdim, tail: np.ndarray) -> bytes:
     """Vectorized final stream assembly (no per-block Python loops).

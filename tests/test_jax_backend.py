@@ -45,3 +45,14 @@ def test_forecaster_exactness(rng):
         np.testing.assert_array_equal(mine, gold.astype(np.int32))
         dec = np.asarray(fire_decode(jnp.asarray(mine, jnp.int32), eb, trunc))
         np.testing.assert_array_equal(dec.astype(dt), rows)
+
+
+def test_compress_batch_byte_exact(rng):
+    from sprintz_tpu import encoder
+
+    S, rows, D = 5, 700, 9
+    streams = make_stream(rng, S * rows * D, 1, "sparse").reshape(S, rows, D)
+    batch = encoder.compress_batch(streams, codec="xff")
+    for s in range(S):
+        assert batch[s] == encoder.compress(
+            streams[s].reshape(-1), D, codec="xff")
