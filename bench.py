@@ -106,7 +106,12 @@ def main():
         return decoder._decode_pass.__wrapped__(
             d, w, o, "delta", 1, False, rows_pad)
 
-    t_kernel = devloop_time(decode_kernel, (dense_j, widths_j, out_rows_j), 8)
+    # best of 3 timing runs, matching the reference paper's "best of 10"
+    # methodology (communicate/results.tex:4-6); the relay adds +-25%
+    # run-to-run variance
+    t_kernel = min(
+        devloop_time(decode_kernel, (dense_j, widths_j, out_rows_j), 8)
+        for _ in range(3))
     gbps = nbytes / t_kernel / 1e9
 
     # context: FIRE decode throughput when streams batch in lanes
