@@ -162,6 +162,82 @@ if _have_jax:
         return vals.astype(jnp.uint8 if elem_sz == 1 else jnp.uint16)
 
 
+if _have_jax:
+
+    @functools.partial(jax.jit, static_argnames=(
+        "codec", "elem_sz", "lowdim", "total_rows"))
+    def _decode_pass_grouped(dense_g, widths_u, out_rows_g, codec, elem_sz,
+                             lowdim, total_rows):
+        """Width-signature-grouped decode (rowmajor only).
+
+        Real streams repeat per-block width vectors, so the unpack weights
+        are built once per UNIQUE signature and blocks sharing one reuse
+        it inside a single batched MXU matmul — the weight construction
+        cost collapses from O(nb*D*MAXB) to O(U*D*MAXB).
+
+        dense_g: (U, C, 8, MAXB) permuted payload bytes;
+        widths_u: (U, D) unique signatures; out_rows_g: (U, C) block rows.
+        """
+        eb = 8 * elem_sz
+        U, C, _, maxb = dense_g.shape
+        ndims = widths_u.shape[1]
+        dense_g = dense_g.astype(jnp.int32)
+        widths_u = widths_u.astype(jnp.int32)
+        off = jnp.cumsum(widths_u, axis=1) - widths_u  # (U, D)
+        q = off >> 3
+        j = jnp.arange(maxb)
+        rel = j[None, None, :] - q[:, :, None]  # (U, D, MAXB)
+        w = jnp.where(rel == 0, 1.0,
+                      jnp.where(rel == 1, 256.0,
+                                jnp.where(rel == 2, 65536.0, 0.0)))
+        word = jax.lax.dot_general(
+            dense_g.reshape(U, C * BLOCK_SZ, maxb).astype(jnp.bfloat16),
+            w.transpose(0, 2, 1).astype(jnp.bfloat16),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32).reshape(U, C, BLOCK_SZ, ndims)
+        word = word >> (off & 7)[:, None, None, :]
+        errs = word & ((1 << widths_u)[:, None, None, :] - 1)
+
+        full = jnp.zeros((total_rows, ndims), dtype=jnp.int32)
+        row_idx = (out_rows_g[:, :, None]
+                   + jnp.arange(BLOCK_SZ)[None, None, :]).reshape(-1)
+        full = full.at[row_idx].set(
+            errs.reshape(U * C * BLOCK_SZ, ndims), mode="drop")
+        if codec == "delta":
+            vals = delta_decode(full, eb)
+        else:
+            vals = fire_decode(full, eb, truncate_coeffs=not lowdim)
+        return vals.astype(jnp.uint8 if elem_sz == 1 else jnp.uint16)
+
+
+def group_by_signature(idx: StreamIndex, max_blowup: float = 3.0):
+    """Host-side width-signature grouping for _decode_pass_grouped.
+
+    Returns (uniq_widths (U_pad, D), block_perm (U_pad, C_pad) int64 index
+    into data blocks with -1 padding) or None when grouping would blow up
+    memory (near-unique signatures)."""
+    ndata = idx.widths.shape[0]
+    if ndata == 0:
+        return None
+    uniq, inv = np.unique(idx.widths, axis=0, return_inverse=True)
+    U = uniq.shape[0]
+    counts = np.bincount(inv, minlength=U)
+    c_pad = next_bucket(int(counts.max()))
+    u_pad = next_bucket(U)
+    if u_pad * c_pad > max_blowup * max(ndata, 1) + 4096:
+        return None
+    perm = np.full((u_pad, c_pad), -1, dtype=np.int64)
+    order = np.argsort(inv, kind="stable")
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    for u in range(U):
+        seg = order[starts[u] : starts[u + 1]]
+        perm[u, : len(seg)] = seg
+    uniq_pad = np.zeros((u_pad, uniq.shape[1]), dtype=np.int32)
+    uniq_pad[:U] = uniq
+    return uniq_pad, perm
+
+
 def gather_payloads(buf: bytes, idx: StreamIndex, ndims: int, elem_sz: int,
                     lowdim: bool) -> np.ndarray:
     """Gather packed payload bytes into a dense per-block buffer
@@ -254,19 +330,33 @@ def decompress(
     dense = gather_payloads(buf, idx, ndims, elem_sz, lowdim)
 
     if idx.total_rows:
-        # bucket shapes so the jitted pass compiles per bucket, not per stream
-        nd_pad = next_bucket(ndata)
         rows_pad = next_bucket(idx.total_rows)
-        dense_p = pad_rows(dense, nd_pad)
-        widths_p = pad_rows(idx.widths, nd_pad)
-        # padded blocks scatter out of range -> dropped by XLA
-        out_rows_p = np.full(nd_pad, rows_pad + BLOCK_SZ, dtype=np.int64)
-        out_rows_p[:ndata] = idx.out_rows
-        vals = _decode_pass(
-            jnp.asarray(dense_p, jnp.int32),
-            jnp.asarray(widths_p, jnp.int32),
-            jnp.asarray(out_rows_p, jnp.int32),
-            codec, elem_sz, lowdim, rows_pad)
+        grouping = None if lowdim else group_by_signature(idx)
+        if grouping is not None:
+            uniq_pad, perm = grouping
+            u_pad, c_pad = perm.shape
+            dense_g = np.zeros((u_pad, c_pad) + dense.shape[1:],
+                               dtype=dense.dtype)
+            out_rows_g = np.full((u_pad, c_pad), rows_pad + BLOCK_SZ,
+                                 dtype=np.int64)
+            valid = perm >= 0
+            dense_g[valid] = dense[perm[valid]]
+            out_rows_g[valid] = idx.out_rows[perm[valid]]
+            vals = _decode_pass_grouped(
+                jnp.asarray(dense_g), jnp.asarray(uniq_pad),
+                jnp.asarray(out_rows_g, jnp.int32),
+                codec, elem_sz, lowdim, rows_pad)
+        else:
+            # bucket shapes so the pass compiles per bucket, not per stream
+            nd_pad = next_bucket(ndata)
+            # padded blocks scatter out of range -> dropped by XLA
+            out_rows_p = np.full(nd_pad, rows_pad + BLOCK_SZ, dtype=np.int64)
+            out_rows_p[:ndata] = idx.out_rows
+            vals = _decode_pass(
+                jnp.asarray(pad_rows(dense, nd_pad)),
+                jnp.asarray(pad_rows(idx.widths, nd_pad)),
+                jnp.asarray(out_rows_p, jnp.int32),
+                codec, elem_sz, lowdim, rows_pad)
         body = np.asarray(vals[: idx.total_rows]).astype(udt).reshape(-1)
     else:
         body = np.empty(0, dtype=udt)
