@@ -91,3 +91,18 @@ def test_multi_frame_headers(rng):
         for c in dfs[name].columns:
             np.testing.assert_array_equal(
                 dec[name][c], dfs[name][c].to_numpy())
+
+
+def test_storage_backends(tmp_path, rng):
+    from sprintz_tpu.frames.storage import available_backends, load_df, save_df
+
+    df = make_df(rng)
+    for name in available_backends():
+        p = save_df(df, tmp_path / f"t_{name}", fmt=name)
+        back = load_df(p)
+        for c in df.columns:
+            np.testing.assert_array_equal(back[c].to_numpy(),
+                                          df[c].to_numpy(), err_msg=name)
+    p = save_df(df, tmp_path / "smart", fmt="smart")
+    back = load_df(p)
+    assert set(back.columns) == set(df.columns)
