@@ -5,13 +5,13 @@ API parity with the reference's ``QueryParams{op, materialize}``
 (sprintz_delta_rle_query.cpp:149-192).
 
 TPU-native design: instead of cloning the decoder with a functor inlined
-into its scalar loop (sprintz_delta_rle_query.hpp:33-430), the reduction
-is fused *by XLA* into the jitted decode pass — the reduce consumes the
-reconstructed rows before they would be written to HBM, and with
-``materialize=False`` the full output array is never transferred to the
-host. The reference's O(1)-per-run ``nrepeats`` trick (query.hpp:95-135)
-corresponds here to run rows being zero-error rows of the same device
-pass: for delta they cost one lane-add each inside the same fused loop.
+into its scalar loop (sprintz_delta_rle_query.hpp:33-430), decode and
+reduce run as ONE jitted device program — the reduction consumes the
+reconstructed rows before they would leave the chip, and with
+``materialize=False`` only the (D,) result transfers to the host. The
+reference's O(1)-per-run ``nrepeats`` trick (query.hpp:95-135)
+corresponds here to run rows being zero-error rows of the same fused
+pass: for delta they cost one lane-add each.
 """
 
 from __future__ import annotations
@@ -22,7 +22,7 @@ import functools
 
 import numpy as np
 
-from ..constants import LOWDIM_MAX_NDIMS, METADATA_LEN_RLE, MIN_DATA_SIZE
+from ..constants import BLOCK_SZ, LOWDIM_MAX_NDIMS, METADATA_LEN_RLE, MIN_DATA_SIZE
 from ..golden.stream import read_metadata_rle
 
 
@@ -47,18 +47,38 @@ class QueryResult:
     min: np.ndarray | None = None  # (D,)
 
 
-def _reduce_pass(vals, op: Operation):
+def _fused_pass(dense, widths, out_rows, n_valid, codec, elem_sz, lowdim,
+                total_rows, op_id, materialize):
+    """Decode + (masked) reduce in one device program."""
+    import jax
     import jax.numpy as jnp
 
-    if op == Operation.REDUCE_MAX:
-        return jnp.max(vals, axis=0)
-    if op == Operation.REDUCE_MIN:
-        return jnp.min(vals, axis=0)
-    if op == Operation.REDUCE_SUM:
-        # i32 device accumulators, matching the reference's widening
-        # (query.hpp:283-291); widened to i64 host-side
-        return jnp.sum(vals, axis=0, dtype=jnp.int32)
-    return None
+    from .. import decoder as _dec
+
+    @functools.partial(jax.jit, static_argnames=(
+        "codec", "elem_sz", "lowdim", "total_rows", "op_id", "materialize"))
+    def run(dense, widths, out_rows, n_valid, codec, elem_sz, lowdim,
+            total_rows, op_id, materialize):
+        vals = _dec._decode_pass.__wrapped__(
+            dense, widths, out_rows, codec, elem_sz, lowdim, total_rows)
+        v32 = vals.astype(jnp.int32)
+        # rows past n_valid are shape padding holding repeated /
+        # extrapolated values; they must not contribute
+        valid = (jnp.arange(v32.shape[0]) < n_valid)[:, None]
+        if op_id == Operation.REDUCE_MAX.value:
+            red = jnp.max(jnp.where(valid, v32, 0), axis=0)
+        elif op_id == Operation.REDUCE_MIN.value:
+            red = jnp.min(jnp.where(valid, v32, 1 << 30), axis=0)
+        elif op_id == Operation.REDUCE_SUM.value:
+            # i32 accumulators, matching the reference's widening
+            # (query.hpp:283-291); widened to i64 host-side
+            red = jnp.sum(jnp.where(valid, v32, 0), axis=0, dtype=jnp.int32)
+        else:
+            red = jnp.zeros(v32.shape[1], jnp.int32)
+        return red, (vals if materialize else red)
+
+    return run(dense, widths, out_rows, n_valid, codec, elem_sz, lowdim,
+               total_rows, op_id, materialize)
 
 
 def query(
@@ -67,11 +87,12 @@ def query(
     codec: str = "delta",
     elem_sz: int = 1,
 ) -> QueryResult:
-    """Evaluate a query over a compressed stream without a host round trip
-    of the decompressed data (unless materialize=True)."""
+    """Evaluate a query over a compressed stream; the decompressed data
+    never reaches the host unless materialize=True."""
     import jax.numpy as jnp
 
     from .. import decoder as _dec
+    from ..utils.shapes import next_bucket, pad_rows
 
     udt = np.uint8 if elem_sz == 1 else np.uint16
     ngroups, remaining_len, ndims = read_metadata_rle(buf)
@@ -86,19 +107,18 @@ def query(
     idx = _dec.walk_headers(buf, ngroups, ndims, elem_sz, lowdim=lowdim)
     dense = _dec.gather_payloads(buf, idx, ndims, elem_sz, lowdim)
 
-    from ..utils.shapes import next_bucket, pad_rows
-
     ndata = dense.shape[0]
     nd_pad = next_bucket(max(ndata, 1))
     rows_pad = next_bucket(max(idx.total_rows, 1))
-    out_rows_p = np.full(nd_pad, rows_pad + 8, dtype=np.int64)
+    out_rows_p = np.full(nd_pad, rows_pad + BLOCK_SZ, dtype=np.int64)
     out_rows_p[:ndata] = idx.out_rows
-    vals = _dec._decode_pass(
+    red, payload = _fused_pass(
         jnp.asarray(pad_rows(dense, nd_pad)),
         jnp.asarray(pad_rows(idx.widths, nd_pad)),
         jnp.asarray(out_rows_p, jnp.int32),
-        codec, elem_sz, lowdim, rows_pad)
-    vals = vals[: idx.total_rows]
+        jnp.int32(idx.total_rows),
+        codec, elem_sz, lowdim, rows_pad, params.op.value,
+        params.materialize)
 
     tail = np.frombuffer(buf, dtype=udt, count=remaining_len,
                          offset=idx.tail_offset)
@@ -106,24 +126,23 @@ def query(
 
     res = QueryResult(data=None)
     if params.op != Operation.NOOP:
-        dev = np.asarray(_reduce_pass(vals, params.op))
+        dev = np.asarray(red).astype(np.int64)
         if params.op == Operation.REDUCE_MAX:
-            m = dev.astype(np.int64)
             if tail_rows.size:
-                m = np.maximum(m, tail_rows.max(axis=0))
-            res.max = m.astype(udt)
+                dev = np.maximum(dev, tail_rows.max(axis=0))
+            res.max = dev.astype(udt)
         elif params.op == Operation.REDUCE_MIN:
-            m = dev.astype(np.int64)
+            if idx.total_rows == 0:
+                dev = np.full(ndims, np.iinfo(np.int64).max)
             if tail_rows.size:
-                m = np.minimum(m, tail_rows.min(axis=0))
-            res.min = m.astype(udt)
+                dev = np.minimum(dev, tail_rows.min(axis=0))
+            res.min = dev.astype(udt)
         else:
-            s = dev.astype(np.int64)
             if tail_rows.size:
-                s = s + tail_rows.sum(axis=0, dtype=np.int64)
-            res.sum = s
+                dev = dev + tail_rows.sum(axis=0, dtype=np.int64)
+            res.sum = dev
     if params.materialize:
-        body = np.asarray(vals).astype(udt).reshape(-1)
+        body = np.asarray(payload[: idx.total_rows]).astype(udt).reshape(-1)
         res.data = np.concatenate([body, tail]).reshape(-1, ndims) \
             if ndims else np.concatenate([body, tail])[:, None]
     return res
