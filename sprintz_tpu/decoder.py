@@ -255,7 +255,13 @@ def gather_payloads(buf: bytes, idx: StreamIndex, ndims: int, elem_sz: int,
                     + (np.cumsum(w, axis=1) - w).reshape(-1))
         unit_dst = np.arange(ndata * ndims, dtype=np.int64) * maxb
     else:
+        # size the buffer by the stream's actual max row width (bucketed):
+        # compressible data has small rows, and the unpack weight tensor
+        # scales with this byte count
         maxb = ndims * elem_sz
+        if ndata:
+            rb_max = int((idx.widths.sum(axis=1).max() + 7) // 8)
+            maxb = min(maxb, next_bucket(max(rb_max, 1), minimum=8))
         dense = np.zeros((ndata, BLOCK_SZ, maxb), dtype=np.uint8)
         if ndata == 0:
             return dense
