@@ -91,21 +91,40 @@ def main():
     t_dec_e2e = time.perf_counter() - t0
     assert np.array_equal(out, flat), "bench roundtrip failed"
 
-    # headline: full decode pass steady state on device
+    # headline: full decode pass steady state on device, using the same
+    # dispatch production decompress() uses (width-signature grouping
+    # when block signatures repeat, the general pass otherwise)
     ngroups, _, _ = read_metadata_rle(stream)
     idx = decoder.walk_headers(stream, ngroups, ndims, 1, lowdim=False)
     dense = decoder.gather_payloads(stream, idx, ndims, 1, False)
-    nd_pad = next_bucket(dense.shape[0])
     rows_pad = next_bucket(idx.total_rows)
-    out_rows = np.full(nd_pad, rows_pad + 8, dtype=np.int64)
-    out_rows[: dense.shape[0]] = idx.out_rows
-    dense_j = jnp.asarray(pad_rows(dense, nd_pad))
-    widths_j = jnp.asarray(pad_rows(idx.widths, nd_pad))
-    out_rows_j = jnp.asarray(out_rows, jnp.int32)
+    grouping = decoder.group_by_signature(idx)
+    if grouping is not None:
+        uniq_pad, perm = grouping
+        u_pad, c_pad = perm.shape
+        dense_g = np.zeros((u_pad, c_pad) + dense.shape[1:], dense.dtype)
+        org = np.full((u_pad, c_pad), rows_pad + 8, dtype=np.int64)
+        valid = perm >= 0
+        dense_g[valid] = dense[perm[valid]]
+        org[valid] = idx.out_rows[perm[valid]]
+        dense_j = jnp.asarray(dense_g)
+        widths_j = jnp.asarray(uniq_pad)
+        out_rows_j = jnp.asarray(org, jnp.int32)
 
-    def decode_kernel(d, w, o):
-        return decoder._decode_pass.__wrapped__(
-            d, w, o, "delta", 1, False, rows_pad)
+        def decode_kernel(d, w, o):
+            return decoder._decode_pass_grouped.__wrapped__(
+                d, w, o, "delta", 1, False, rows_pad)
+    else:
+        nd_pad = next_bucket(dense.shape[0])
+        out_rows = np.full(nd_pad, rows_pad + 8, dtype=np.int64)
+        out_rows[: dense.shape[0]] = idx.out_rows
+        dense_j = jnp.asarray(pad_rows(dense, nd_pad))
+        widths_j = jnp.asarray(pad_rows(idx.widths, nd_pad))
+        out_rows_j = jnp.asarray(out_rows, jnp.int32)
+
+        def decode_kernel(d, w, o):
+            return decoder._decode_pass.__wrapped__(
+                d, w, o, "delta", 1, False, rows_pad)
 
     # best-of-N timing, matching the reference paper's "best of 10"
     # methodology (communicate/results.tex:4-6); the relay adds +-25%
