@@ -154,3 +154,99 @@ int64_t sprintz_walk_headers(
 }
 
 }  // extern "C"
+
+// Assemble the final byte stream from an emission plan and per-block
+// device outputs. Mirrors sprintz_tpu/encoder.py:assemble_stream (shared
+// tests assert byte equality). Returns total bytes written, or -1 if
+// out_cap would be exceeded.
+extern "C" int64_t sprintz_assemble_stream(
+    const int8_t* kinds, const int32_t* values, int64_t nslots,
+    int64_t ngroups, int64_t remaining_elems,
+    const int32_t* widths,   // (nb, ndims) per-block field widths
+    const uint8_t* hdrvals,  // (nb, ndims) stored header fields
+    const uint8_t* dense,    // (nb, 8, maxb) rowmajor | (nb, ndims, maxb) lowdim
+    int64_t maxb, int32_t ndims, int32_t elem_sz, int32_t lowdim,
+    const uint8_t* tail, int64_t tail_nbytes,
+    uint8_t* out, int64_t out_cap) {
+  const int hdr_bits = elem_sz == 1 ? 3 : 4;
+  const int64_t total_header_bytes =
+      ((int64_t)ndims * hdr_bits * kGroupSzBlocks + 7) / 8;
+
+  if (out_cap < 8) return -1;
+  // metadata {u32 ngroups, u16 remaining, u16 ndims} LE
+  out[0] = (uint8_t)(ngroups);
+  out[1] = (uint8_t)(ngroups >> 8);
+  out[2] = (uint8_t)(ngroups >> 16);
+  out[3] = (uint8_t)(ngroups >> 24);
+  out[4] = (uint8_t)(remaining_elems);
+  out[5] = (uint8_t)(remaining_elems >> 8);
+  out[6] = (uint8_t)(ndims);
+  out[7] = (uint8_t)(ndims >> 8);
+  int64_t pos = 8;
+
+  uint8_t* hdr_dest = nullptr;
+  int64_t hdr_bitpos = 0;
+  for (int64_t s = 0; s < nslots; s++) {
+    if (s % kGroupSzBlocks == 0) {  // new group: header region
+      if (pos + total_header_bytes > out_cap) return -1;
+      hdr_dest = out + pos;
+      memset(hdr_dest, 0, total_header_bytes);
+      pos += total_header_bytes;
+      hdr_bitpos = 0;
+    }
+    const int8_t kind = kinds[s];
+    if (kind == kKindData) {
+      const int64_t b = values[s];
+      const uint8_t* hv = hdrvals + b * ndims;
+      for (int d = 0; d < ndims; d++) {
+        const int64_t bp = hdr_bitpos + (int64_t)d * hdr_bits;
+        // 3/4-bit fields span at most 2 bytes
+        uint32_t two = (uint32_t)hdr_dest[bp >> 3] |
+                       ((uint32_t)hdr_dest[(bp >> 3) + 1] << 8);
+        two |= (uint32_t)hv[d] << (bp & 7);
+        hdr_dest[bp >> 3] = (uint8_t)two;
+        hdr_dest[(bp >> 3) + 1] = (uint8_t)(two >> 8);
+      }
+      const int32_t* w = widths + b * ndims;
+      if (lowdim) {
+        const uint8_t* src = dense + b * ndims * maxb;
+        for (int d = 0; d < ndims; d++) {
+          const int32_t n = w[d];
+          if (pos + n > out_cap) return -1;
+          memcpy(out + pos, src + (int64_t)d * maxb, n);
+          pos += n;
+        }
+      } else {
+        int64_t wsum = 0;
+        for (int d = 0; d < ndims; d++) wsum += w[d];
+        const int64_t rb = (wsum + 7) / 8;
+        const uint8_t* src = dense + b * kBlockSz * maxb;
+        if (pos + rb * kBlockSz > out_cap) return -1;
+        for (int r = 0; r < kBlockSz; r++) {
+          memcpy(out + pos, src + (int64_t)r * maxb, rb);
+          pos += rb;
+        }
+      }
+    } else if (kind == kKindRun) {
+      const int32_t run = values[s];
+      if (pos + 2 > out_cap) return -1;
+      if (run > 0x7f) {
+        out[pos++] = (uint8_t)((run & 0x7f) | 0x80);
+        out[pos++] = (uint8_t)(run >> 7);
+      } else {
+        out[pos++] = (uint8_t)(run & 0x7f);
+      }
+      hdr_bitpos += (int64_t)ndims * hdr_bits;
+      continue;
+    } else {  // kKindRun0 padding byte
+      if (pos + 1 > out_cap) return -1;
+      out[pos++] = 0;
+      hdr_bitpos += (int64_t)ndims * hdr_bits;
+      continue;
+    }
+    hdr_bitpos += (int64_t)ndims * hdr_bits;
+  }
+  if (pos + tail_nbytes > out_cap) return -1;
+  memcpy(out + pos, tail, tail_nbytes);
+  return pos + tail_nbytes;
+}

@@ -175,12 +175,27 @@ def compress_batch(
 
 def assemble_stream(plan, widths_np, hdr_np, dense_np, ndims, elem_sz,
                     lowdim, tail: np.ndarray) -> bytes:
-    """Vectorized final stream assembly (no per-block Python loops).
+    """Final stream assembly.
 
-    Computes every byte's destination with numpy index arithmetic:
+    Prefers the native C++ assembler (native/sprintz_host.cpp); the numpy
+    path below computes every byte's destination with index arithmetic:
     group g's header precedes slots 2g, 2g+1; slot payload lengths are
     8*row_nbytes (rowmajor), sum(widths) (lowdim), or varint sizes.
     """
+    from .native_host import assemble_stream_native
+
+    native = assemble_stream_native(
+        plan.kinds, plan.values, plan.ngroups, plan.remaining_elems,
+        widths_np, hdr_np, dense_np, ndims, elem_sz, lowdim,
+        tail.tobytes())
+    if native is not None:
+        return native
+    return _assemble_stream_np(
+        plan, widths_np, hdr_np, dense_np, ndims, elem_sz, lowdim, tail)
+
+
+def _assemble_stream_np(plan, widths_np, hdr_np, dense_np, ndims, elem_sz,
+                        lowdim, tail: np.ndarray) -> bytes:
     hdr_bits = nbits_sz_bits(elem_sz)
     total_header_bytes = (ndims * hdr_bits * GROUP_SZ_BLOCKS + 7) // 8
 

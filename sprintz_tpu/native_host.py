@@ -110,3 +110,39 @@ def walk_headers_native(buf: bytes, start: int, ngroups: int, ndims: int,
         meta.ctypes.data_as(ctypes.c_void_p))
     return (widths[:ndata].copy(), offsets[:ndata].copy(),
             out_rows[:ndata].copy(), int(meta[1]), int(meta[2]))
+
+
+def assemble_stream_native(kinds, values, ngroups, remaining_elems,
+                           widths, hdrvals, dense, ndims, elem_sz,
+                           lowdim, tail_bytes: bytes):
+    """Native final stream assembly; returns bytes or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "sprintz_assemble_stream"):
+        return None
+    kinds = np.ascontiguousarray(kinds, np.int8)
+    values = np.ascontiguousarray(values, np.int32)
+    widths = np.ascontiguousarray(widths, np.int32)
+    hdrvals = np.ascontiguousarray(hdrvals, np.uint8)
+    dense = np.ascontiguousarray(dense, np.uint8)
+    maxb = dense.shape[-1]
+    tail = np.frombuffer(tail_bytes, np.uint8)
+    cap = (8 + dense.nbytes + kinds.size * (8 + (ndims + 1))
+           + tail.nbytes + 4096)
+    out = np.empty(cap, dtype=np.uint8)
+    fn = lib.sprintz_assemble_stream
+    fn.restype = ctypes.c_int64
+    n = fn(kinds.ctypes.data_as(ctypes.c_void_p),
+           values.ctypes.data_as(ctypes.c_void_p),
+           ctypes.c_int64(kinds.size), ctypes.c_int64(ngroups),
+           ctypes.c_int64(remaining_elems),
+           widths.ctypes.data_as(ctypes.c_void_p),
+           hdrvals.ctypes.data_as(ctypes.c_void_p),
+           dense.ctypes.data_as(ctypes.c_void_p),
+           ctypes.c_int64(maxb), ctypes.c_int32(ndims),
+           ctypes.c_int32(elem_sz), ctypes.c_int32(int(lowdim)),
+           tail.ctypes.data_as(ctypes.c_void_p),
+           ctypes.c_int64(tail.nbytes),
+           out.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(cap))
+    if n < 0:
+        return None
+    return out[:n].tobytes()
