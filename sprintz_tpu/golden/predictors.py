@@ -38,10 +38,11 @@ from ..utils.bits import icopysign, zigzag_decode, zigzag_encode
 class DeltaPredictor:
     """Per-dim delta coding: err = val - prev_val."""
 
-    def __init__(self, ndims: int, elem_sz: int):
+    def __init__(self, ndims: int, elem_sz: int, block_sz: int = BLOCK_SZ):
         self.ndims = ndims
         self.udt = uint_dtype(elem_sz)
         self.idt = int_dtype(elem_sz)
+        self.block_sz = block_sz
         self.prev_vals = np.zeros(ndims, dtype=self.udt)
 
     def encode_block(self, block: np.ndarray) -> np.ndarray:
@@ -59,7 +60,7 @@ class DeltaPredictor:
 
     def decode_run(self, nblocks: int) -> np.ndarray:
         # Zero deltas: every row repeats the previous row.
-        return np.tile(self.prev_vals, (nblocks * BLOCK_SZ, 1))
+        return np.tile(self.prev_vals, (nblocks * self.block_sz, 1))
 
 
 class FirePredictor:

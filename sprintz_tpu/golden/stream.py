@@ -24,11 +24,13 @@ import numpy as np
 
 from ..constants import (
     BLOCK_SZ,
+    DEFAULT_CONFIG,
     GROUP_SZ_BLOCKS,
     MAX_RUN_NBLOCKS,
     METADATA_LEN_RLE,
     MIN_DATA_SIZE,
     NBITS_MASKS_U8,
+    CodecConfig,
     nbits_sz_bits,
     uint_dtype,
 )
@@ -77,23 +79,23 @@ class RowMajorLayout:
         return np.array([int(m).bit_length() for m in masks], dtype=np.int64)
 
     @staticmethod
-    def payload_nbytes(widths: np.ndarray) -> int:
+    def payload_nbytes(widths: np.ndarray, block_sz: int = BLOCK_SZ) -> int:
         row_nbytes = (int(widths.sum()) + 7) // 8
-        return row_nbytes * BLOCK_SZ
+        return row_nbytes * block_sz
 
     @staticmethod
     def emit_payload(out: bytearray, errs_zz: np.ndarray, widths: np.ndarray):
         row_nbytes = (int(widths.sum()) + 7) // 8
-        for r in range(BLOCK_SZ):
+        for r in range(errs_zz.shape[0]):
             out.extend(pack_row_bits(errs_zz[r], widths).to_bytes(
                 row_nbytes, "little"))
 
     @staticmethod
-    def parse_payload(buf: bytes, pos: int, widths: np.ndarray, udt
-                      ) -> tuple[np.ndarray, int]:
+    def parse_payload(buf: bytes, pos: int, widths: np.ndarray, udt,
+                      block_sz: int = BLOCK_SZ) -> tuple[np.ndarray, int]:
         row_nbytes = (int(widths.sum()) + 7) // 8
-        errs_zz = np.empty((BLOCK_SZ, len(widths)), dtype=udt)
-        for r in range(BLOCK_SZ):
+        errs_zz = np.empty((block_sz, len(widths)), dtype=udt)
+        for r in range(block_sz):
             row_int = int.from_bytes(buf[pos : pos + row_nbytes], "little")
             pos += row_nbytes
             errs_zz[r] = unpack_row_bits(row_int, widths, udt)
@@ -113,29 +115,32 @@ class LowDimLayout:
         return np.where(widths == elem_bits - 1, elem_bits, widths)
 
     @staticmethod
-    def payload_nbytes(widths: np.ndarray) -> int:
-        return int(widths.sum())  # 8 samples * w bits == w bytes per dim
+    def payload_nbytes(widths: np.ndarray, block_sz: int = BLOCK_SZ) -> int:
+        # block_sz samples * w bits == w * block_sz/8 bytes per dim
+        return int(widths.sum()) * block_sz // 8
 
     @staticmethod
     def emit_payload(out: bytearray, errs_zz: np.ndarray, widths: np.ndarray):
+        block_sz = errs_zz.shape[0]
         for d, w in enumerate(widths.tolist()):
             if w == 0:
                 continue
             acc = 0
-            for r in range(BLOCK_SZ):
+            for r in range(block_sz):
                 acc |= (int(errs_zz[r, d]) & ((1 << w) - 1)) << (r * w)
-            out.extend(acc.to_bytes(w, "little"))
+            out.extend(acc.to_bytes(w * block_sz // 8, "little"))
 
     @staticmethod
-    def parse_payload(buf: bytes, pos: int, widths: np.ndarray, udt
-                      ) -> tuple[np.ndarray, int]:
-        errs_zz = np.zeros((BLOCK_SZ, len(widths)), dtype=udt)
+    def parse_payload(buf: bytes, pos: int, widths: np.ndarray, udt,
+                      block_sz: int = BLOCK_SZ) -> tuple[np.ndarray, int]:
+        errs_zz = np.zeros((block_sz, len(widths)), dtype=udt)
         for d, w in enumerate(widths.tolist()):
             if w == 0:
                 continue
-            acc = int.from_bytes(buf[pos : pos + w], "little")
-            pos += w
-            for r in range(BLOCK_SZ):
+            nb = w * block_sz // 8
+            acc = int.from_bytes(buf[pos : pos + nb], "little")
+            pos += nb
+            for r in range(block_sz):
                 errs_zz[r, d] = (acc >> (r * w)) & ((1 << w) - 1)
         return errs_zz, pos
 
@@ -143,9 +148,10 @@ class LowDimLayout:
 class IdentityPredictor:
     """Bitpack-only codec: values pass through unmodified (no zigzag)."""
 
-    def __init__(self, ndims: int, elem_sz: int):
+    def __init__(self, ndims: int, elem_sz: int, block_sz: int = BLOCK_SZ):
         self.ndims = ndims
         self.udt = uint_dtype(elem_sz)
+        self.block_sz = block_sz
 
     def encode_block(self, block: np.ndarray) -> np.ndarray:
         return np.ascontiguousarray(block, dtype=self.udt)
@@ -154,18 +160,20 @@ class IdentityPredictor:
         return errs.astype(self.udt)
 
     def decode_run(self, nblocks: int) -> np.ndarray:
-        return np.zeros((nblocks * BLOCK_SZ, self.ndims), dtype=self.udt)
+        return np.zeros((nblocks * self.block_sz, self.ndims), dtype=self.udt)
 
 
-def make_predictor(codec: str, ndims: int, elem_sz: int, lowdim: bool = False):
+def make_predictor(codec: str, ndims: int, elem_sz: int, lowdim: bool = False,
+                   block_sz: int = BLOCK_SZ):
     if codec == "raw":
-        return IdentityPredictor(ndims, elem_sz)
+        return IdentityPredictor(ndims, elem_sz, block_sz=block_sz)
     if codec == "delta":
-        return DeltaPredictor(ndims, elem_sz)
+        return DeltaPredictor(ndims, elem_sz, block_sz=block_sz)
     if codec == "xff":
         # Lowdim FIRE uses full-precision coefficients; rowmajor truncates
         # to the top 4 bits (sprintz_xff_lowdim.cpp:38-39 vs
         # sprintz_xff_rle.cpp:209-221).
+        assert block_sz == 8
         return FirePredictor(ndims, elem_sz, truncate_coeffs=not lowdim)
     raise ValueError(f"unknown codec {codec!r}")
 
@@ -283,14 +291,30 @@ def decompress_simple(
     return np.concatenate([body.astype(udt, copy=False), tail])
 
 
+def _check_cfg(cfg: CodecConfig, codec: str):
+    assert cfg.block_sz % 8 == 0 and cfg.block_sz >= 8, (
+        "block_sz must be a positive multiple of 8 (byte-aligned blocks)")
+    assert cfg.group_sz_blocks >= 1
+    assert 1 <= cfg.max_run_nblocks <= 0x7FFF, "run length is a 15-bit varint"
+    if codec == "xff":
+        assert cfg.block_sz == 8, (
+            "FIRE's learning constants are tied to 8-sample blocks "
+            "(sprintz_xff_rle.cpp:74-76)")
+
+
 def compress_rle(
     src: np.ndarray,
     ndims: int,
     codec: str,
     layout,
     write_size: bool = True,
+    cfg: CodecConfig = DEFAULT_CONFIG,
 ) -> bytes:
-    """Shared group/RLE encoder over a block payload layout strategy."""
+    """Shared group/RLE encoder over a block payload layout strategy.
+
+    A non-default ``cfg`` yields self-consistent (but not
+    reference-compatible) streams; decode with the same cfg."""
+    _check_cfg(cfg, codec)
     src = np.ascontiguousarray(src)
     elem_sz = src.dtype.itemsize
     assert src.dtype in (np.uint8, np.uint16), src.dtype
@@ -298,6 +322,10 @@ def compress_rle(
     n = src.size
     hdr_bits = nbits_sz_bits(elem_sz)
     elem_bits = 8 * elem_sz
+    BLOCK_SZ = cfg.block_sz
+    GROUP_SZ_BLOCKS = cfg.group_sz_blocks
+    MAX_RUN_NBLOCKS = cfg.max_run_nblocks
+    MIN_DATA_SIZE = cfg.min_data_size
     block_elems = BLOCK_SZ * ndims
     group_sz = block_elems * GROUP_SZ_BLOCKS
     total_header_bits = ndims * hdr_bits * GROUP_SZ_BLOCKS
@@ -311,7 +339,8 @@ def compress_rle(
         return bytes(out)
 
     predictor = make_predictor(codec, ndims, elem_sz,
-                               lowdim=layout is LowDimLayout)
+                               lowdim=layout is LowDimLayout,
+                               block_sz=BLOCK_SZ)
     run_cmp_allows_equal = codec == "xff" and layout.run_cmp_allows_equal_for_xff
 
     out = bytearray()
@@ -419,8 +448,13 @@ def decompress_rle(
     ndims: int | None = None,
     ngroups: int | None = None,
     remaining_len: int | None = None,
+    cfg: CodecConfig = DEFAULT_CONFIG,
 ) -> np.ndarray:
     """Shared group/RLE decoder over a block payload layout strategy."""
+    _check_cfg(cfg, codec)
+    BLOCK_SZ = cfg.block_sz
+    GROUP_SZ_BLOCKS = cfg.group_sz_blocks
+    MIN_DATA_SIZE = cfg.min_data_size
     pos = 0
     if ndims is None:
         ngroups, remaining_len, ndims = read_metadata_rle(buf)
@@ -437,7 +471,8 @@ def decompress_rle(
         return np.frombuffer(buf, dtype=udt, count=remaining_len, offset=pos).copy()
 
     predictor = make_predictor(codec, ndims, elem_sz,
-                               lowdim=layout is LowDimLayout)
+                               lowdim=layout is LowDimLayout,
+                               block_sz=BLOCK_SZ)
     chunks: list[np.ndarray] = []
 
     for _ in range(ngroups):
@@ -458,7 +493,8 @@ def decompress_rle(
                 if length:
                     chunks.append(predictor.decode_run(length))
                 continue
-            errs_zz, pos = layout.parse_payload(buf, pos, widths, udt)
+            errs_zz, pos = layout.parse_payload(buf, pos, widths, udt,
+                                                block_sz=BLOCK_SZ)
             chunks.append(predictor.decode_block(errs_zz))
 
     trailing = np.frombuffer(buf, dtype=udt, count=remaining_len, offset=pos)

@@ -82,3 +82,23 @@ def test_compression_ratio_sanity(rng):
     x = (np.cumsum(rng.integers(-2, 3, 100_000)) % 256).astype(np.uint8)
     comp = api.SprintzCodec("delta", 1, backend="golden").compress(x)
     assert len(comp) < 52_000  # ~3.75 bits/elem incl. headers
+
+
+def test_custom_codec_config(rng):
+    # non-default block/group sizes give self-consistent streams
+    from sprintz_tpu.constants import CodecConfig
+    from sprintz_tpu.golden.stream import (
+        LowDimLayout, RowMajorLayout, compress_rle, decompress_rle)
+
+    for cfg in (CodecConfig(block_sz=16, group_sz_blocks=4),
+                CodecConfig(block_sz=8, group_sz_blocks=8),
+                CodecConfig(max_run_nblocks=3)):
+        for layout, ndims in ((RowMajorLayout, 5), (LowDimLayout, 2)):
+            x = make_stream(rng, 900 * ndims, 1, "sparse")
+            buf = compress_rle(x, ndims, "delta", layout, cfg=cfg)
+            dec = decompress_rle(buf, "delta", layout, elem_sz=1, cfg=cfg)
+            np.testing.assert_array_equal(dec, x)
+        # default cfg must keep reference compatibility
+    default = compress_rle(make_stream(rng, 1000, 1, "sparse"), 1, "delta",
+                           LowDimLayout)
+    assert isinstance(default, bytes)
