@@ -29,7 +29,6 @@ from .constants import (
     nbits_sz_bits,
 )
 from .golden.stream import read_metadata_rle
-from .planner import KIND_DATA, KIND_RUN
 
 
 @dataclasses.dataclass

@@ -27,10 +27,10 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..constants import BLOCK_SZ
-from ..models.forecasters import delta_encode, fire_encode
+from ..models.forecasters import fire_encode
 from ..ops.bitmath import block_widths_rowmajor, header_value, sign_extend, zigzag_decode, zigzag_encode
 from ..ops.pack import pack_rows_rowmajor, unpack_rows_rowmajor
 
@@ -163,7 +163,7 @@ def dp_compress(mesh: Mesh, flat: np.ndarray, ndims: int,
     for exact multi-chip FIRE.
     """
     from .. import encoder as _enc
-    from ..constants import MIN_DATA_SIZE, nbits_sz_bits
+    from ..constants import MIN_DATA_SIZE
     from ..golden.stream import write_metadata_rle
     from ..planner import build_plan
 
