@@ -95,9 +95,14 @@ int64_t sprintz_build_plan(
 // Walk group headers to index payloads and runs.
 // widths_out: ndata_max * ndims; offsets_out/out_rows_out: ndata_max.
 // out_meta: [ndata, total_rows, tail_offset]
+// Bounds-checked: buf_len is the real buffer length (the caller may pad
+// one extra readable byte beyond it for the 2-byte field loads); returns
+// -1 if the declared structure would read past buf_len — the stream is
+// truncated or its metadata lies (the format carries no checksums, so
+// this is the only defense; cf. format.h:47-62 which trusts blindly).
 int64_t sprintz_walk_headers(
-    const uint8_t* buf, int64_t start, int64_t ngroups, int32_t ndims,
-    int32_t elem_sz, int32_t lowdim,
+    const uint8_t* buf, int64_t buf_len, int64_t start, int64_t ngroups,
+    int32_t ndims, int32_t elem_sz, int32_t lowdim,
     int32_t* widths_out, int64_t* offsets_out, int64_t* out_rows_out,
     int64_t* out_meta) {
   const int hdr_bits = elem_sz == 1 ? 3 : 4;
@@ -111,6 +116,7 @@ int64_t sprintz_walk_headers(
   int64_t ndata = 0;
 
   for (int64_t g = 0; g < ngroups; g++) {
+    if (pos + total_header_bytes > buf_len) return -1;
     const uint8_t* hdr = buf + pos;
     pos += total_header_bytes;
     int64_t bitpos = 0;
@@ -119,7 +125,8 @@ int64_t sprintz_walk_headers(
       int32_t* wrow = widths_out + ndata * ndims;
       for (int d = 0; d < ndims; d++) {
         const int64_t bp = bitpos + (int64_t)d * hdr_bits;
-        // fields never span more than 2 bytes (3/4-bit fields)
+        // fields never span more than 2 bytes (3/4-bit fields); the
+        // caller guarantees one readable pad byte past buf_len
         const uint32_t two =
             (uint32_t)hdr[bp >> 3] | ((uint32_t)hdr[(bp >> 3) + 1] << 8);
         int32_t h = (two >> (bp & 7)) & ((1u << hdr_bits) - 1);
@@ -129,9 +136,13 @@ int64_t sprintz_walk_headers(
       }
       bitpos += (int64_t)ndims * hdr_bits;
       if (wsum == 0) {
+        if (pos >= buf_len) return -1;
         const uint8_t low = buf[pos++];
         int32_t length = low & 0x7f;
-        if (low & 0x80) length |= (int32_t)buf[pos++] << 7;
+        if (low & 0x80) {
+          if (pos >= buf_len) return -1;
+          length |= (int32_t)buf[pos++] << 7;
+        }
         row += (int64_t)length * kBlockSz;
         continue;
       }
@@ -143,6 +154,7 @@ int64_t sprintz_walk_headers(
       } else {
         pos += (int64_t)kBlockSz * ((wsum + 7) / 8);
       }
+      if (pos > buf_len) return -1;
       row += kBlockSz;
     }
   }

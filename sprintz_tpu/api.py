@@ -19,12 +19,11 @@ import dataclasses
 import numpy as np
 
 from .constants import LOWDIM_MAX_NDIMS
+from .errors import CorruptStreamError
 from .golden import rowmajor as _golden_rowmajor
 from .golden import lowdim as _golden_lowdim
 
-
-class CorruptStreamError(ValueError):
-    """A compressed stream is truncated or internally inconsistent."""
+__all__ = ["CorruptStreamError", "SprintzCodec", "compress", "decompress"]
 
 
 @dataclasses.dataclass(frozen=True)

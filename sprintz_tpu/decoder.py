@@ -89,8 +89,19 @@ def _walk_headers_py(buf: bytes, ngroups: int, ndims: int, elem_sz: int,
     out_rows = []
     pos = start
     row = 0
+    buf_len = len(buf)
     buf_np = np.frombuffer(buf, dtype=np.uint8)
+
+    def _overrun(what: str):
+        from .errors import CorruptStreamError
+
+        raise CorruptStreamError(
+            f"stream walk overran the buffer reading {what} at byte {pos} "
+            f"(len {buf_len}): truncated stream or inconsistent metadata")
+
     for _g in range(ngroups):
+        if pos + total_header_bytes > buf_len:
+            _overrun("a group header")
         hdr = unpack_headers(
             buf_np[pos : pos + total_header_bytes][None, :], 1, ndims, hdr_bits)
         pos += total_header_bytes
@@ -99,10 +110,14 @@ def _walk_headers_py(buf: bytes, ngroups: int, ndims: int, elem_sz: int,
             w = np.where(w == elem_bits - 1, elem_bits, w)
             wsum = int(w.sum())
             if wsum == 0:
+                if pos >= buf_len:
+                    _overrun("a run varint")
                 low = buf[pos]
                 pos += 1
                 length = low & 0x7F
                 if low & 0x80:
+                    if pos >= buf_len:
+                        _overrun("a 2-byte run varint")
                     length |= buf[pos] << 7
                     pos += 1
                 row += length * BLOCK_SZ
@@ -114,6 +129,8 @@ def _walk_headers_py(buf: bytes, ngroups: int, ndims: int, elem_sz: int,
                 pos += wsum  # each dim: 8 * w bits == w bytes
             else:
                 pos += BLOCK_SZ * ((wsum + 7) // 8)
+            if pos > buf_len:
+                _overrun("a block payload")
             row += BLOCK_SZ
     ndata = len(widths_list)
     return StreamIndex(
@@ -321,6 +338,12 @@ def decompress(
     if not _have_jax:
         return None
     udt = np.uint8 if elem_sz == 1 else np.uint16
+    if len(buf) < METADATA_LEN_RLE:
+        from .errors import CorruptStreamError
+
+        raise CorruptStreamError(
+            f"stream shorter than its {METADATA_LEN_RLE}-byte metadata "
+            f"({len(buf)} bytes)")
     ngroups, remaining_len, ndims = read_metadata_rle(buf)
     if ngroups == 0 and remaining_len < MIN_DATA_SIZE:
         return np.frombuffer(
@@ -332,6 +355,13 @@ def decompress(
         lowdim = force_layout == "lowdim"
 
     idx = walk_headers(buf, ngroups, ndims, elem_sz, lowdim=lowdim)
+    if idx.tail_offset + remaining_len * elem_sz > len(buf):
+        from .errors import CorruptStreamError
+
+        raise CorruptStreamError(
+            f"verbatim tail truncated: need "
+            f"{idx.tail_offset + remaining_len * elem_sz} bytes, "
+            f"have {len(buf)}")
     ndata = idx.widths.shape[0]
     dense = gather_payloads(buf, idx, ndims, elem_sz, lowdim)
 

@@ -87,11 +87,16 @@ def build_plan_native(zero_flags: np.ndarray, n_elems: int, ndims: int,
 def walk_headers_native(buf: bytes, start: int, ngroups: int, ndims: int,
                         elem_sz: int, lowdim: bool):
     """Native walk_headers; returns (widths, offsets, out_rows, total_rows,
-    tail_offset) or None."""
+    tail_offset) or None if the native lib is unavailable.
+
+    Raises CorruptStreamError when the walk would overrun the buffer.
+    """
     lib = get_lib()
     if lib is None:
         return None
-    # pad by one byte: the walker reads one byte past each header region
+    # pad by one byte: header field loads read 2 bytes and may touch one
+    # byte past the region end; bounds are enforced against the REAL
+    # length inside the walker
     data = np.frombuffer(buf + b"\x00", dtype=np.uint8)
     ndata_max = int(ngroups) * 2
     widths = np.empty((max(ndata_max, 1), ndims), dtype=np.int32)
@@ -101,13 +106,20 @@ def walk_headers_native(buf: bytes, start: int, ngroups: int, ndims: int,
     fn = lib.sprintz_walk_headers
     fn.restype = ctypes.c_int64
     ndata = fn(
-        data.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(start),
+        data.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(len(buf)),
+        ctypes.c_int64(start),
         ctypes.c_int64(ngroups), ctypes.c_int32(ndims),
         ctypes.c_int32(elem_sz), ctypes.c_int32(int(lowdim)),
         widths.ctypes.data_as(ctypes.c_void_p),
         offsets.ctypes.data_as(ctypes.c_void_p),
         out_rows.ctypes.data_as(ctypes.c_void_p),
         meta.ctypes.data_as(ctypes.c_void_p))
+    if ndata < 0:
+        from .errors import CorruptStreamError
+
+        raise CorruptStreamError(
+            "stream walk overran the buffer: truncated stream or "
+            "inconsistent metadata")
     return (widths[:ndata].copy(), offsets[:ndata].copy(),
             out_rows[:ndata].copy(), int(meta[1]), int(meta[2]))
 
