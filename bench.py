@@ -26,34 +26,57 @@ import numpy as np
 BASELINE_DECODE_GBPS = 3.0
 
 
-def devloop_time(kernel, args, iters, vary=0):
+def devloop_time(kernel, args, iters, vary=0, chain=False):
+    """Per-iteration on-device time of ``kernel(*args)``.
+
+    Methodology (two defenses, both required in this environment):
+
+    - **Hoisting-proof**: the varied arg rides the fori_loop carry and is
+      perturbed by the loop index, so XLA cannot hoist the kernel out of
+      the loop.
+    - **Relay-latency-proof (two-point slope)**: the axon relay adds a
+      large FIXED latency per dispatch (measured ~60 ms — size-independent,
+      it dwarfed 8-iteration loops and capped round-1 numbers near
+      8 MiB / 60 ms). So the loop trip count is a *traced* argument: one
+      compilation, timed at ``iters`` and ``3*iters``; the slope
+      ``(t3 - t1) / (2*iters)`` cancels every fixed cost exactly.
+
+    ``chain=True`` (kernel output same shape/dtype as ``args[vary]``)
+    feeds the output back as the next iteration's input — zero-overhead
+    and DCE-proof; otherwise the output is fully reduced into the carry
+    (costs one extra read of the output, a small bias acknowledged here).
+    """
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def loop(*a):
-        # the varied arg rides the loop carry so its single-element
-        # perturbation is an in-place dynamic-update-slice, not a copy;
-        # this defeats loop-invariant hoisting at ~zero per-iter cost
+    def loop(n, *a):
         def body(i, st):
             arr, acc = st
             flat = arr.reshape(-1)
-            arr = flat.at[0].set(flat[0] ^ (i & 1)).reshape(arr.shape)
+            arr = flat.at[0].set((i & 1).astype(arr.dtype)).reshape(arr.shape)
             aa = list(a)
             aa[vary] = arr
             out = kernel(*aa)
-            return arr, acc + jax.tree_util.tree_leaves(out)[0].reshape(-1)[0]
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            if chain:
+                return leaf.astype(arr.dtype), acc
+            # full reduction: XLA cannot elide any part of the output
+            return arr, acc + jnp.sum(leaf.astype(jnp.float32))
 
-        _, acc = jax.lax.fori_loop(0, iters, body, (a[vary], jnp.int32(0)))
+        _, acc = jax.lax.fori_loop(
+            0, n, body, (a[vary], jnp.float32(0)))
         return acc
 
-    r = loop(*args)
-    r.block_until_ready()
-    t0 = time.perf_counter()
-    r = loop(*args)
-    r.block_until_ready()
-    _ = int(r)
-    return (time.perf_counter() - t0) / iters
+    times = {}
+    for n in (iters, 3 * iters):
+        r = loop(n, *args)
+        r.block_until_ready()
+        t0 = time.perf_counter()
+        r = loop(n, *args)
+        r.block_until_ready()
+        times[n] = time.perf_counter() - t0
+    return max(times[3 * iters] - times[iters], 1e-9) / (2 * iters)
 
 
 def main():
@@ -127,10 +150,10 @@ def main():
                 d, w, o, "delta", 1, False, rows_pad)
 
     # best-of-N timing, matching the reference paper's "best of 10"
-    # methodology (communicate/results.tex:4-6); the relay adds +-25%
-    # run-to-run variance. N kept small so the driver's timeout holds.
+    # methodology (communicate/results.tex:4-6). N kept small so the
+    # driver's timeout holds.
     t_kernel = min(
-        devloop_time(decode_kernel, (dense_j, widths_j, out_rows_j), 8)
+        devloop_time(decode_kernel, (dense_j, widths_j, out_rows_j), 16)
         for _ in range(2))
     gbps = nbytes / t_kernel / 1e9
 
