@@ -30,7 +30,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..constants import BLOCK_SZ
-from ..models.forecasters import fire_encode
+from ..models.forecasters import _fire_scan
 from ..ops.bitmath import block_widths_rowmajor, header_value, sign_extend, zigzag_decode, zigzag_encode
 from ..ops.pack import pack_rows_rowmajor, unpack_rows_rowmajor
 
@@ -40,6 +40,52 @@ def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
+
+
+# ----------------------------------------------------------- FIRE chain
+
+
+def _fire_chain(local_rows_or_errs: jnp.ndarray, elem_bits: int,
+                decode: bool, truncate_coeffs: bool = True) -> jnp.ndarray:
+    """Exact cross-shard FIRE scan via a serial state chain.
+
+    FIRE's coefficient recurrence is inherently sequential over the
+    stream (sprintz_xff_rle.cpp:147-152: one serial recurrence per
+    column), so byte-exact multi-chip FIRE cannot shortcut the state. The
+    chain runs n_dev steps: at step k every device scans its OWN blocks
+    from its current incoming state and ``ppermute``s its final state one
+    device rightward — so after step k, device k+1 holds the TRUE chain
+    state, and each device captures the scan output produced at its own
+    step. Wall-clock for the scan stage equals the single-chip scan (the
+    recurrence is serial either way — the reference pays the same), while
+    widths/pack/assembly stay fully parallel.
+
+    Input (local_rows, D) int32: raw values (encode) or zigzag errors
+    (decode); returns the same shape (errors / values).
+    """
+    n = jax.lax.axis_size("dp")
+    my = jax.lax.axis_index("dp")
+    nb = local_rows_or_errs.shape[0] // BLOCK_SZ
+    blocks = local_rows_or_errs.reshape(
+        nb, BLOCK_SZ, *local_rows_or_errs.shape[1:])
+    # carry zeros derived from the input (mesh-varying axes must match)
+    zero = jnp.zeros_like(blocks[0, 0])
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def step(carry, k):
+        state, acc = carry
+        out, fin = _fire_scan(
+            blocks, elem_bits, truncate_coeffs, decode,
+            init_state=state, return_final=True)
+        acc = jnp.where(k == my, out, acc)
+        state_next = tuple(
+            jax.lax.ppermute(s, "dp", perm) for s in fin)
+        return (state_next, acc), None
+
+    (_, out), _ = jax.lax.scan(
+        step, ((zero, zero, zero), jnp.zeros_like(blocks)),
+        jnp.arange(n, dtype=jnp.int32))
+    return out.reshape(local_rows_or_errs.shape)
 
 
 # --------------------------------------------------------------- encode
@@ -60,9 +106,9 @@ def _shard_encode(rows: jnp.ndarray, elem_sz: int, codec: str):
         prev = jnp.concatenate([first_prev[None, :], rows[:-1]], axis=0)
         errs = zigzag_encode(sign_extend(rows - prev, eb), eb)
     else:
-        # FIRE state is a sequential recurrence; dp shards are independent
-        # streams (boundary handoff handled at a higher level)
-        errs = fire_encode(rows, eb)
+        # FIRE boundary state rides the serial ppermute chain — the
+        # multi-chip stream is byte-identical to single-chip
+        errs = _fire_chain(rows, eb, decode=False)
     nb = rows.shape[0] // BLOCK_SZ
     blocks = errs.reshape(nb, BLOCK_SZ, -1)
     ormask = jnp.bitwise_or.reduce(blocks, axis=1)
@@ -144,6 +190,125 @@ def dp_delta_decode(mesh: Mesh, dense: np.ndarray, widths: np.ndarray,
     return fn(jnp.asarray(dense, jnp.int32), jnp.asarray(widths, jnp.int32))
 
 
+def _shard_fire_decode(dense: jnp.ndarray, widths: jnp.ndarray,
+                       elem_sz: int):
+    """Per-shard unpack + exact cross-shard FIRE decode chain."""
+    eb = 8 * elem_sz
+    errs = unpack_rows_rowmajor(dense, widths)
+    nb, _, ndims = errs.shape
+    return _fire_chain(errs.reshape(nb * BLOCK_SZ, ndims), eb, decode=True)
+
+
+@functools.lru_cache(maxsize=None)
+def _shard_map_fire_decode_cached(mesh: Mesh, elem_sz: int):
+    f = functools.partial(_shard_fire_decode, elem_sz=elem_sz)
+    mapped = jax.shard_map(
+        f, mesh=mesh, in_specs=(P("dp"), P("dp")), out_specs=P("dp"))
+    return jax.jit(mapped)
+
+
+def dp_fire_decode(mesh: Mesh, dense: np.ndarray, widths: np.ndarray,
+                   elem_sz: int):
+    """Block-parallel unpack + serial-chain FIRE reconstruction."""
+    fn = _shard_map_fire_decode_cached(mesh, elem_sz)
+    return fn(jnp.asarray(dense, jnp.int32), jnp.asarray(widths, jnp.int32))
+
+
+# ------------------------------------------------- decode from stream bytes
+
+
+def _shard_delta_rows(errs_zz: jnp.ndarray, elem_sz: int):
+    """Row-sharded delta reconstruction over the full timeline.
+
+    errs_zz: (local_rows, D) int32 zigzag errors (run rows hold 0, which
+    contributes zero delta — exactly the run semantics). Local cumsum +
+    exclusive cross-shard prefix of per-shard delta sums over ICI.
+    """
+    eb = 8 * elem_sz
+    deltas = zigzag_decode(errs_zz, eb)
+    local = jnp.cumsum(deltas, axis=0, dtype=jnp.int32)
+    shard_sum = local[-1]
+    all_sums = jax.lax.all_gather(shard_sum, "dp")
+    my = jax.lax.axis_index("dp")
+    prefix = jnp.where(
+        (jnp.arange(all_sums.shape[0]) < my)[:, None], all_sums, 0).sum(axis=0)
+    return (local + prefix[None, :]) & ((1 << eb) - 1)
+
+
+@functools.lru_cache(maxsize=None)
+def _shard_map_rows_cached(mesh: Mesh, elem_sz: int, codec: str):
+    if codec == "delta":
+        f = functools.partial(_shard_delta_rows, elem_sz=elem_sz)
+    else:
+        f = functools.partial(_fire_chain, elem_bits=8 * elem_sz,
+                              decode=True)
+    mapped = jax.shard_map(f, mesh=mesh, in_specs=(P("dp"),),
+                           out_specs=P("dp"))
+    return jax.jit(mapped)
+
+
+@functools.lru_cache(maxsize=None)
+def _shard_map_unpack_cached(mesh: Mesh):
+    mapped = jax.shard_map(
+        unpack_rows_rowmajor, mesh=mesh, in_specs=(P("dp"), P("dp")),
+        out_specs=P("dp"))
+    return jax.jit(mapped)
+
+
+def dp_decompress(mesh: Mesh, buf: bytes, codec: str = "delta",
+                  elem_sz: int = 1) -> np.ndarray:
+    """Sharded decode of a real compressed stream (north-star decode side).
+
+    Pipeline (SURVEY §2.10 decode plan):
+    1. host: sequential header walk (native) -> block index;
+    2. device, sharded over BLOCKS: payload unpack (MXU matmuls);
+    3. timeline scatter of block errors (run rows stay zero);
+    4. device, sharded over ROWS: delta = local cumsum + all-gather
+       prefix fixup; xff = serial ppermute state chain (exact).
+
+    Output is bit-identical to ``decoder.decompress``. Row-major streams
+    only (lowdim streams are small-dim; shard those across streams).
+    """
+    from .. import decoder as _dec
+    from ..constants import METADATA_LEN_RLE, MIN_DATA_SIZE
+    from ..golden.stream import read_metadata_rle
+
+    udt = np.uint8 if elem_sz == 1 else np.uint16
+    ngroups, remaining_len, ndims = read_metadata_rle(buf)
+    if ngroups == 0 and remaining_len < MIN_DATA_SIZE:
+        return np.frombuffer(buf, dtype=udt, count=remaining_len,
+                             offset=METADATA_LEN_RLE).copy()
+    n_dev = mesh.devices.size
+    idx = _dec.walk_headers(buf, ngroups, ndims, elem_sz, lowdim=False)
+    dense = _dec.gather_payloads(buf, idx, ndims, elem_sz, False)
+    ndata = idx.widths.shape[0]
+
+    body = np.zeros((0, ndims), dtype=udt)
+    if idx.total_rows:
+        # phase 1: unpack, sharded over blocks
+        nb_pad = -(-max(ndata, 1) // n_dev) * n_dev
+        dense_p = np.zeros((nb_pad,) + dense.shape[1:], dense.dtype)
+        dense_p[:ndata] = dense
+        widths_p = np.zeros((nb_pad, ndims), np.int32)
+        widths_p[:ndata] = idx.widths
+        errs = np.asarray(_shard_map_unpack_cached(mesh)(
+            jnp.asarray(dense_p, jnp.int32), jnp.asarray(widths_p)))
+
+        # phase 2: timeline scatter (host) + row-sharded reconstruction
+        rows_pad = -(-idx.total_rows // (n_dev * BLOCK_SZ)) * n_dev * BLOCK_SZ
+        full = np.zeros((rows_pad, ndims), np.int32)
+        row_idx = (idx.out_rows[:, None] + np.arange(BLOCK_SZ)[None, :]
+                   ).reshape(-1)
+        full[row_idx] = errs[:ndata].reshape(ndata * BLOCK_SZ, ndims)
+        vals = np.asarray(_shard_map_rows_cached(mesh, elem_sz, codec)(
+            jnp.asarray(full)))
+        body = vals[: idx.total_rows].astype(udt)
+
+    tail = np.frombuffer(buf, dtype=udt, count=remaining_len,
+                         offset=idx.tail_offset)
+    return np.concatenate([body.reshape(-1), tail])
+
+
 # --------------------------------------------------------------- full step
 
 
@@ -152,15 +317,13 @@ def dp_compress(mesh: Mesh, flat: np.ndarray, ndims: int,
     """Multi-chip encode producing the byte-exact single-stream output.
 
     Blocks are sharded across the mesh; forecaster boundary state rides
-    ``ppermute`` (delta), so the per-block errors/widths equal the
-    single-chip pass. The emission plan (RLE runs can cross shard
-    boundaries) and final layout run on host over the gathered per-block
-    summaries — the "ordered gather of packed shards" of the north star.
-
-    For "delta" the result is byte-identical to ``encoder.compress``.
-    For "xff" shards are independent streams (the coefficient recurrence
-    does not cross chips), so use per-shard streams + checkpoint sidecars
-    for exact multi-chip FIRE.
+    ``ppermute`` — a one-row handoff for delta, the serial state chain
+    for FIRE (``_fire_chain``) — so the per-block errors/widths equal the
+    single-chip pass for BOTH codecs and the assembled stream is
+    byte-identical to ``encoder.compress``. The emission plan (RLE runs
+    can cross shard boundaries) and final layout run on host over the
+    gathered per-block summaries — the "ordered gather of packed shards"
+    of the north star.
     """
     from .. import encoder as _enc
     from ..constants import MIN_DATA_SIZE
@@ -204,7 +367,7 @@ def training_step(mesh: Mesh, rows: np.ndarray, elem_sz: int = 1,
     if codec == "delta":
         decoded = dp_delta_decode(mesh, dense, widths, elem_sz)
     else:
-        # FIRE shards are independent streams; decode locally per shard
-        decoded = None
+        # exact FIRE reconstruction via the serial ppermute state chain
+        decoded = dp_fire_decode(mesh, dense, widths, elem_sz)
     total_bytes = np.asarray(sizes).sum()
     return decoded, total_bytes

@@ -58,3 +58,55 @@ def test_dp_compress_byte_exact(rng, mesh8):
         flat = x.reshape(-1)
         multi = shard.dp_compress(mesh8, flat, D, codec="delta")
         assert multi == encoder.compress(flat, D, codec="delta")
+
+
+def test_dp_compress_xff_byte_exact(rng, mesh8):
+    """FIRE multi-chip == single-chip bytes: the serial ppermute state
+    chain hands the exact (prev_val, prev_delta, counter) across shards
+    (reference semantics: one serial recurrence per stream,
+    sprintz_xff_rle.cpp:147-152)."""
+    from sprintz_tpu import encoder
+    from sprintz_tpu.parallel import shard
+
+    for D, n_rows in [(16, 4096), (9, 2048)]:
+        x = (np.cumsum(rng.integers(-4, 5, (n_rows, D)), axis=0) % 256
+             ).astype(np.uint8)
+        flat = x.reshape(-1)
+        multi = shard.dp_compress(mesh8, flat, D, codec="xff")
+        assert multi == encoder.compress(flat, D, codec="xff")
+
+
+def test_dp_fire_training_step_roundtrip(rng, mesh8):
+    from sprintz_tpu.parallel import shard
+
+    D = 12
+    rows = (np.cumsum(rng.integers(-3, 4, (8 * 8 * 16, D)), axis=0) % 256
+            ).astype(np.int32)
+    decoded, nbytes = shard.training_step(mesh8, rows, elem_sz=1, codec="xff")
+    np.testing.assert_array_equal(
+        np.asarray(decoded).astype(np.uint8), rows.astype(np.uint8))
+    assert int(nbytes) > 0
+
+
+@pytest.mark.parametrize("codec", ["delta", "xff"])
+@pytest.mark.parametrize("elem_sz", [1, 2])
+def test_dp_decompress_from_stream(rng, mesh8, codec, elem_sz):
+    """Sharded decode of real stream bytes == single-chip decompress,
+    including streams with RLE runs."""
+    from sprintz_tpu import decoder, encoder
+    from sprintz_tpu.parallel import shard
+
+    dt = np.uint8 if elem_sz == 1 else np.uint16
+    D = 9
+    for kind in ("sparse", "rand"):
+        if kind == "rand":
+            x = rng.integers(0, 1 << (8 * elem_sz), (5000, D)).astype(dt)
+        else:  # heavy RLE: mostly-constant rows
+            x = np.zeros((5000, D), dt)
+            x[1000:1200] = rng.integers(0, 100, (200, D))
+        flat = x.reshape(-1)
+        buf = encoder.compress(flat, D, codec=codec)
+        out = shard.dp_decompress(mesh8, buf, codec=codec, elem_sz=elem_sz)
+        np.testing.assert_array_equal(out, flat, err_msg=f"{codec}/{kind}")
+        np.testing.assert_array_equal(
+            out, decoder.decompress(buf, codec=codec, elem_sz=elem_sz))
