@@ -64,9 +64,11 @@ def devloop_time(kernel, args, iters, vary=0, chain=False):
             # full reduction: XLA cannot elide any part of the output
             return arr, acc + jnp.sum(leaf.astype(jnp.float32))
 
-        _, acc = jax.lax.fori_loop(
+        arr, acc = jax.lax.fori_loop(
             0, n, body, (a[vary], jnp.float32(0)))
-        return acc
+        # in chain mode acc is untouched; the final carried array must
+        # feed the result or XLA dead-codes the entire loop
+        return acc + jnp.sum(arr.astype(jnp.float32))
 
     times = {}
     for n in (iters, 3 * iters):
@@ -115,14 +117,22 @@ def main():
     assert np.array_equal(out, flat), "bench roundtrip failed"
 
     # headline: full decode pass steady state on device, using the same
-    # dispatch production decompress() uses (width-signature grouping
-    # when block signatures repeat, the general pass otherwise)
+    # dispatch production decompress() uses (contiguous fast path when
+    # the stream has no runs, else width-signature grouping / general)
     ngroups, _, _ = read_metadata_rle(stream)
     idx = decoder.walk_headers(stream, ngroups, ndims, 1, lowdim=False)
     dense = decoder.gather_payloads(stream, idx, ndims, 1, False)
     rows_pad = next_bucket(idx.total_rows)
-    grouping = decoder.group_by_signature(idx)
-    if grouping is not None:
+    if idx.total_rows == idx.widths.shape[0] * 8:
+        nd_pad = next_bucket(dense.shape[0])
+        dense_j = jnp.asarray(pad_rows(dense, nd_pad))
+        widths_j = jnp.asarray(pad_rows(idx.widths, nd_pad))
+        out_rows_j = jnp.zeros((1,), jnp.int32)  # unused
+
+        def decode_kernel(d, w, o):
+            return decoder._decode_pass_contiguous.__wrapped__(
+                d, w, "delta", 1, False)
+    elif (grouping := decoder.group_by_signature(idx)) is not None:
         uniq_pad, perm = grouping
         u_pad, c_pad = perm.shape
         dense_g = np.zeros((u_pad, c_pad) + dense.shape[1:], dense.dtype)

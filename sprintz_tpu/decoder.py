@@ -182,6 +182,31 @@ if _have_jax:
 if _have_jax:
 
     @functools.partial(jax.jit, static_argnames=(
+        "codec", "elem_sz", "lowdim"))
+    def _decode_pass_contiguous(dense, widths, codec, elem_sz, lowdim):
+        """Run-free fast path: block rows ARE the timeline, so the
+        per-row scatter (measured ~100%% of decode wall time on v5e) is
+        replaced by a reshape. Selected when the host walk shows
+        total_rows == ndata * 8."""
+        eb = 8 * elem_sz
+        dense = dense.astype(jnp.int32)
+        widths = widths.astype(jnp.int32)
+        if lowdim:
+            errs = unpack_dims_lowdim(dense, widths)
+        else:
+            errs = unpack_rows_rowmajor(dense, widths)
+        ndata, _, ndims = errs.shape
+        flat = errs.reshape(ndata * BLOCK_SZ, ndims)
+        if codec == "delta":
+            vals = delta_decode(flat, eb)
+        else:
+            vals = fire_decode(flat, eb, truncate_coeffs=not lowdim)
+        return vals.astype(jnp.uint8 if elem_sz == 1 else jnp.uint16)
+
+
+if _have_jax:
+
+    @functools.partial(jax.jit, static_argnames=(
         "codec", "elem_sz", "lowdim", "total_rows"))
     def _decode_pass_grouped(dense_g, widths_u, out_rows_g, codec, elem_sz,
                              lowdim, total_rows):
@@ -366,6 +391,18 @@ def decompress(
     dense = gather_payloads(buf, idx, ndims, elem_sz, lowdim)
 
     if idx.total_rows:
+        if idx.total_rows == ndata * BLOCK_SZ:
+            # no runs anywhere -> blocks are the timeline (fast path)
+            nd_pad = next_bucket(ndata)
+            vals = _decode_pass_contiguous(
+                jnp.asarray(pad_rows(dense, nd_pad)),
+                jnp.asarray(pad_rows(idx.widths, nd_pad)),
+                codec, elem_sz, lowdim)
+            body = np.asarray(
+                vals[: idx.total_rows]).astype(udt).reshape(-1)
+            tail = np.frombuffer(
+                buf, dtype=udt, count=remaining_len, offset=idx.tail_offset)
+            return np.concatenate([body, tail])
         rows_pad = next_bucket(idx.total_rows)
         grouping = None if lowdim else group_by_signature(idx)
         if grouping is not None:
