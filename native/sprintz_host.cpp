@@ -165,6 +165,111 @@ int64_t sprintz_walk_headers(
   return ndata;
 }
 
+// ---------------------------------------------------------------------
+// Entropy stage: chunked canonical Huffman (the paper's +Huf role,
+// communicate/method.tex:300-303 — the reference pipes through Huff0 on
+// the CPU; in-repo entropy.cpp is an empty stub). Table construction
+// stays in Python (O(alphabet) work); these are the per-byte hot loops.
+
+// Byte histogram (np.bincount round-trips through int64; this is the
+// table-build hot loop). 4 sub-counters break the store-to-load
+// dependency chain on repeated symbols.
+void sprintz_histogram(const uint8_t* data, int64_t n, int64_t* counts) {
+  int64_t c[4][256] = {};
+  int64_t i = 0;
+  for (; i + 4 <= n; i += 4) {
+    c[0][data[i]]++;
+    c[1][data[i + 1]]++;
+    c[2][data[i + 2]]++;
+    c[3][data[i + 3]]++;
+  }
+  for (; i < n; i++) c[0][data[i]]++;
+  for (int s = 0; s < 256; s++)
+    counts[s] = c[0][s] + c[1][s] + c[2][s] + c[3][s];
+}
+
+// Encode n symbols into per-chunk bit-packed payloads (LSB-first, same
+// layout as the numpy emitter in sprintz_tpu/entropy/huffman.py).
+// codes/lengths: canonical LSB-first per symbol. sizes_out: nchunks u32
+// payload byte counts. Returns total payload bytes, or -1 if out_cap hit.
+int64_t sprintz_huff_encode(
+    const uint8_t* data, int64_t n, int64_t chunk_symbols,
+    const uint32_t* codes, const uint8_t* lengths,
+    uint8_t* out, int64_t out_cap, uint32_t* sizes_out) {
+  const int64_t nchunks = n > 0 ? (n + chunk_symbols - 1) / chunk_symbols : 1;
+  int64_t pos = 0;
+  for (int64_t c = 0; c < nchunks; c++) {
+    const int64_t lo = c * chunk_symbols;
+    const int64_t hi = lo + chunk_symbols < n ? lo + chunk_symbols : n;
+    uint64_t acc = 0;
+    int nbits = 0;
+    const int64_t start = pos;
+    for (int64_t i = lo; i < hi; i++) {
+      const uint8_t s = data[i];
+      acc |= (uint64_t)codes[s] << nbits;
+      nbits += lengths[s];
+      // word-at-a-time flush: max 12 bits/symbol keeps acc < 2^44
+      if (nbits >= 32) {
+        if (pos + 4 > out_cap) return -1;
+        memcpy(out + pos, &acc, 4);
+        pos += 4;
+        acc >>= 32;
+        nbits -= 32;
+      }
+    }
+    while (nbits > 0) {
+      if (pos >= out_cap) return -1;
+      out[pos++] = (uint8_t)acc;
+      acc >>= 8;
+      nbits -= 8;
+    }
+    sizes_out[c] = (uint32_t)(pos - start);
+  }
+  return pos;
+}
+
+// Table-driven decode of nchunks payloads back into symbols.
+// sym_lut/len_lut: 4096-entry (12-bit LSB-first peek) tables.
+// offsets: absolute byte offset of each chunk payload in buf.
+int64_t sprintz_huff_decode(
+    const uint8_t* buf, const int64_t* offsets, const uint32_t* sizes,
+    int64_t nchunks, int64_t chunk_symbols, int64_t n,
+    const uint8_t* sym_lut, const uint8_t* len_lut, uint8_t* out) {
+  for (int64_t c = 0; c < nchunks; c++) {
+    const uint8_t* p = buf + offsets[c];
+    const int64_t nbytes = sizes[c];
+    const int64_t lo = c * chunk_symbols;
+    const int64_t hi = lo + chunk_symbols < n ? lo + chunk_symbols : n;
+    uint64_t acc = 0;
+    int nbits = 0;
+    int64_t bpos = 0;
+    for (int64_t i = lo; i < hi; i++) {
+      // word-at-a-time refill (keeps >= 32 bits buffered in the fast path)
+      if (nbits < 12) {
+        if (bpos + 4 <= nbytes) {
+          uint32_t w;
+          memcpy(&w, p + bpos, 4);
+          acc |= (uint64_t)w << nbits;
+          bpos += 4;
+          nbits += 32;
+        } else {
+          while (nbits < 12 && bpos < nbytes) {
+            acc |= (uint64_t)p[bpos++] << nbits;
+            nbits += 8;
+          }
+        }
+      }
+      const uint32_t peek = (uint32_t)(acc & 0xfff);
+      out[i] = sym_lut[peek];
+      const int L = len_lut[peek];
+      acc >>= L;
+      nbits -= L;
+      if (nbits < 0) return -1;  // corrupt: code ran past the payload
+    }
+  }
+  return n;
+}
+
 }  // extern "C"
 
 // Assemble the final byte stream from an emission plan and per-block

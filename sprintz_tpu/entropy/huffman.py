@@ -128,9 +128,13 @@ def _canonical_codes(lengths: np.ndarray) -> np.ndarray:
 
 
 def build_table(data: np.ndarray | bytes) -> HuffmanTable:
+    from ..native_host import histogram_native
+
     arr = np.frombuffer(data, dtype=np.uint8) if isinstance(
         data, (bytes, bytearray)) else np.asarray(data, dtype=np.uint8)
-    counts = np.bincount(arr, minlength=256)
+    counts = histogram_native(arr)
+    if counts is None:
+        counts = np.bincount(arr, minlength=256)
     lengths = _limited_lengths(counts)
     return HuffmanTable(lengths=lengths, codes=_canonical_codes(lengths))
 
@@ -151,13 +155,27 @@ def _unpack_table(buf: bytes) -> HuffmanTable:
 def huff_compress(data: np.ndarray | bytes,
                   chunk_symbols: int = DEFAULT_CHUNK_SYMBOLS,
                   table: HuffmanTable | None = None) -> bytes:
-    """Vectorized over all chunks at once: per-symbol code bits are
-    expanded into a (nchunks, max_chunk_bits) bit matrix (LSB-first) and
-    packed per chunk with np.packbits."""
+    """Chunked canonical Huffman encode.
+
+    Emission prefers the native C++ loop (native/sprintz_host.cpp,
+    hundreds of MB/s — the role Huff0 plays for the reference paper);
+    the numpy fallback below expands per-symbol code bits into a
+    (nchunks, max_chunk_bits) bit matrix and packs with np.packbits."""
+    from ..native_host import huff_encode_native
+
     arr = np.frombuffer(data, dtype=np.uint8) if isinstance(
         data, (bytes, bytearray)) else np.asarray(data, dtype=np.uint8)
     t = build_table(arr) if table is None else table
     n = arr.size
+
+    native = huff_encode_native(arr, chunk_symbols, t.codes, t.lengths)
+    if native is not None:
+        payload, sizes = native
+        nchunks = sizes.size
+        head = (np.array([n, chunk_symbols, nchunks],
+                         dtype=np.uint32).tobytes()
+                + _pack_table(t) + sizes.tobytes())
+        return head + payload
     nchunks = max(1, -(-n // chunk_symbols))
     padded_n = nchunks * chunk_symbols
     lens = np.zeros(padded_n, dtype=np.int64)
@@ -199,11 +217,27 @@ def _parse(buf: bytes):
     return int(n), int(chunk_symbols), int(nchunks), t, sizes, offsets
 
 
-def huff_decompress(buf: bytes, use_jax: bool = True) -> np.ndarray:
+def huff_decompress(buf: bytes, backend: str = "auto") -> np.ndarray:
+    """Decode a huff_compress stream.
+
+    backend: "auto" prefers the native C++ table-driven loop (the
+    production path — entropy decode is gather-driven, the one pattern
+    that scalarizes on TPU, so it stays on host exactly like the
+    reference runs Huff0 on CPU); "jax" forces the experimental
+    chunk-parallel device scan; "numpy" the vectorized host fallback.
+    """
     n, chunk_symbols, nchunks, t, sizes, offsets = _parse(buf)
     if n == 0:
         return np.zeros(0, dtype=np.uint8)
-    if use_jax:
+    if backend == "auto":
+        from ..native_host import huff_decode_native
+
+        sym_lut, len_lut = t.decode_lut()
+        native = huff_decode_native(buf, offsets, sizes, chunk_symbols, n,
+                                    sym_lut, len_lut)
+        if native is not None:
+            return native
+    if backend == "jax":
         try:
             return _decode_jax(buf, n, chunk_symbols, nchunks, t, sizes,
                                offsets)

@@ -124,6 +124,81 @@ def walk_headers_native(buf: bytes, start: int, ngroups: int, ndims: int,
             out_rows[:ndata].copy(), int(meta[1]), int(meta[2]))
 
 
+def histogram_native(data: np.ndarray):
+    """Native byte histogram; returns (256,) int64 counts or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "sprintz_histogram"):
+        return None
+    data = np.ascontiguousarray(data, np.uint8)
+    counts = np.zeros(256, dtype=np.int64)
+    lib.sprintz_histogram(
+        data.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(data.size),
+        counts.ctypes.data_as(ctypes.c_void_p))
+    return counts
+
+
+def huff_encode_native(data: np.ndarray, chunk_symbols: int,
+                       codes: np.ndarray, lengths: np.ndarray):
+    """Native chunked Huffman emit; returns (payload bytes, sizes u32)
+    or None. Table construction stays in Python."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "sprintz_huff_encode"):
+        return None
+    data = np.ascontiguousarray(data, np.uint8)
+    codes = np.ascontiguousarray(codes, np.uint32)
+    lengths = np.ascontiguousarray(lengths, np.uint8)
+    n = data.size
+    nchunks = max(1, -(-n // chunk_symbols))
+    # worst case: 12 bits/symbol + 1 tail byte per chunk
+    cap = (n * 12) // 8 + nchunks + 64
+    out = np.empty(cap, dtype=np.uint8)
+    sizes = np.zeros(nchunks, dtype=np.uint32)
+    fn = lib.sprintz_huff_encode
+    fn.restype = ctypes.c_int64
+    total = fn(
+        data.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(n),
+        ctypes.c_int64(chunk_symbols),
+        codes.ctypes.data_as(ctypes.c_void_p),
+        lengths.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(cap),
+        sizes.ctypes.data_as(ctypes.c_void_p))
+    if total < 0:
+        return None
+    return out[:total].tobytes(), sizes
+
+
+def huff_decode_native(buf: bytes, offsets: np.ndarray, sizes: np.ndarray,
+                       chunk_symbols: int, n: int,
+                       sym_lut: np.ndarray, len_lut: np.ndarray):
+    """Native table-driven Huffman decode; returns symbols (n,) u8 or
+    None. Raises CorruptStreamError when a code overruns its payload."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "sprintz_huff_decode"):
+        return None
+    data = np.frombuffer(buf, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    sizes = np.ascontiguousarray(sizes, np.uint32)
+    sym_lut = np.ascontiguousarray(sym_lut, np.uint8)
+    len_lut = np.ascontiguousarray(len_lut, np.uint8)
+    out = np.empty(max(n, 1), dtype=np.uint8)
+    fn = lib.sprintz_huff_decode
+    fn.restype = ctypes.c_int64
+    r = fn(
+        data.ctypes.data_as(ctypes.c_void_p),
+        offsets.ctypes.data_as(ctypes.c_void_p),
+        sizes.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(len(offsets)), ctypes.c_int64(chunk_symbols),
+        ctypes.c_int64(n),
+        sym_lut.ctypes.data_as(ctypes.c_void_p),
+        len_lut.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p))
+    if r < 0:
+        from .errors import CorruptStreamError
+
+        raise CorruptStreamError("Huffman payload overran its chunk")
+    return out[:n]
+
+
 def assemble_stream_native(kinds, values, ngroups, remaining_elems,
                            widths, hdrvals, dense, ndims, elem_sz,
                            lowdim, tail_bytes: bytes):
