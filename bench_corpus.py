@@ -19,6 +19,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nrows", type=int, default=50_000)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--mini", action="store_true",
+                    help="use the checked-in real-format miniature corpus "
+                         "(tests/data/mini_corpus) instead of synthetic "
+                         "profiles")
+    ap.add_argument("--data-dir", default=None,
+                    help="parse REAL corpora from this directory "
+                         "(ucr/ msrc12/ pamap/ ampds/ uci_gas/ subdirs)")
     args = ap.parse_args()
 
     from sprintz_tpu import api
@@ -31,15 +38,34 @@ def main():
     except ImportError:
         have_oracle = False
 
-    names = list(CORPUS_PROFILES)
-    if args.quick:
-        names = names[:2]
+    real_dir = args.data_dir
+    if args.mini:
+        real_dir = "tests/data/mini_corpus"
+    if real_dir:
+        import pathlib
+
+        from sprintz_tpu.data import loaders
+        from sprintz_tpu.data.corpus import quantize
+
+        names = [n for n in loaders.CORPUS_LOADERS
+                 if (pathlib.Path(real_dir) / n).exists()]
+
+        def load(name, dtype, nrows):
+            mat = quantize(loaders.load_corpus(name, real_dir), dtype=dtype)
+            return mat[:nrows]
+    else:
+        names = list(CORPUS_PROFILES)
+        if args.quick:
+            names = names[:2]
+
+        def load(name, dtype, nrows):
+            return load_dataset(name, dtype=dtype, nrows=nrows)
 
     print(f"{'corpus':14s} {'dtype':7s} {'codec':6s} {'ratio':>7s} "
           f"{'+huf':>7s} {'enc MB/s':>9s} {'dec MB/s':>9s} {'ref?':>5s}")
     for name in names:
         for dtype in (np.uint8, np.uint16):
-            data = load_dataset(name, dtype=dtype, nrows=args.nrows)
+            data = load(name, dtype, args.nrows)
             ndims = data.shape[1]
             flat = data.reshape(-1)
             for codec in ("delta", "xff"):
