@@ -19,6 +19,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nrows", type=int, default=50_000)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "device"],
+                    help="ratio tables default to CPU (NOTE: the "
+                         "JAX_PLATFORMS env var is overridden by the axon "
+                         "sitecustomize; only jax.config works)")
     ap.add_argument("--mini", action="store_true",
                     help="use the checked-in real-format miniature corpus "
                          "(tests/data/mini_corpus) instead of synthetic "
@@ -27,6 +31,11 @@ def main():
                     help="parse REAL corpora from this directory "
                          "(ucr/ msrc12/ pamap/ ampds/ uci_gas/ subdirs)")
     args = ap.parse_args()
+
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from sprintz_tpu import api
     from sprintz_tpu.data import CORPUS_PROFILES, load_dataset
