@@ -1,0 +1,126 @@
+"""Legacy univariate 8-bit codec: dyndelta, byte-exact.
+
+The reference carries nine historical univariate codecs
+(univariate_8b.cpp:87-1677); dyndelta (:1523-1677) is the one with a
+byte format of its own (4-bit block headers = 3-bit width + 1-bit
+delta-vs-double-delta choice) and the direct ancestor of the online
+subsystem's dynamic predictor choice. This is its executable format
+spec, oracle-verified byte-for-byte.
+
+Format (write_size=True):
+  [u64 LE original length]
+  [ngroups * 4 header bytes]   ngroups = len // 64; per group one u32 LE
+      packing 8 x (stored_nbits | choice<<3) 4-bit fields, LSB-first
+  [block payloads]             per block: stored_nbits bytes
+      (stored 7 means 8 bits/sample -> 8 bytes); samples LSB-first,
+      low-n-bits-per-sample two's-complement truncation
+  [len % 64 verbatim tail bytes]
+
+Per 8-sample block the encoder computes both the delta and double-delta
+residuals (state continuous across blocks/groups), takes whichever
+needs fewer signed bits (cost = bit length of the zigzag value,
+NBITS_COST_I8 in bitpack.h:43-56), and records choice=1 when
+double-delta is strictly better (univariate_8b.cpp:1582).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SZ = 8
+GROUP_SZ_BLOCKS = 8
+GROUP_SZ = BLOCK_SZ * GROUP_SZ_BLOCKS
+
+
+def _i8(v: int) -> int:
+    return ((v + 128) & 0xFF) - 128
+
+
+def _signed_cost(v: int) -> int:
+    """Bits to store v as a signed field = bit_length(zigzag(v));
+    matches NBITS_COST_I8 (0 costs 0, -1 costs 1, +1 costs 2...)."""
+    zz = (v << 1) ^ (v >> 63) if v >= 0 else ((-v - 1) << 1) + 1
+    return int(zz).bit_length()
+
+
+def compress_dyndelta_8b(x: np.ndarray, write_size: bool = True) -> bytes:
+    x = np.ascontiguousarray(x, dtype=np.uint8)
+    n = x.size
+    ngroups = n // GROUP_SZ
+    out = bytearray()
+    if write_size:
+        out += int(n).to_bytes(8, "little")
+    headers = bytearray(ngroups * 4)
+    payload = bytearray()
+
+    prev_val = 0
+    prev_delta = 0
+    pos = 0
+    for g in range(ngroups):
+        hdr32 = 0
+        for b in range(GROUP_SZ_BLOCKS):
+            deltas = []
+            ddeltas = []
+            for i in range(BLOCK_SZ):
+                delta = _i8(int(x[pos]) - prev_val)
+                ddeltas.append(_i8(delta - prev_delta))
+                deltas.append(delta)
+                prev_val = int(x[pos])
+                prev_delta = delta
+                pos += 1
+            nb_d = max(_signed_cost(v) for v in deltas)
+            nb_dd = max(_signed_cost(v) for v in ddeltas)
+            nbits = min(nb_d, nb_dd)
+            choice = 1 if nbits < nb_d else 0
+            stored = nbits - (nbits == 8)
+            hdr32 |= (stored | (choice << 3)) << (4 * b)
+            # pack: stored==7 packs full bytes (kBitpackMasks8[7] is the
+            # 8-bit mask); otherwise `stored` bits per sample
+            m = 8 if stored == 7 else stored
+            vals = ddeltas if choice else deltas
+            acc = 0
+            for i, v in enumerate(vals):
+                acc |= (v & ((1 << m) - 1)) << (i * m)
+            nbytes = stored + (stored == 7)
+            payload += acc.to_bytes(8, "little")[:nbytes]
+        headers[g * 4 : (g + 1) * 4] = hdr32.to_bytes(4, "little")
+    out += headers
+    out += payload
+    out += x[ngroups * GROUP_SZ :].tobytes()
+    return bytes(out)
+
+
+def decompress_dyndelta_8b(buf: bytes) -> np.ndarray:
+    n = int.from_bytes(buf[:8], "little")
+    ngroups = n // GROUP_SZ
+    hdr_off = 8
+    pos = hdr_off + ngroups * 4
+    out = np.empty(n, dtype=np.uint8)
+    prev_val = 0
+    prev_delta = 0
+    o = 0
+    for g in range(ngroups):
+        hdr32 = int.from_bytes(buf[hdr_off + g * 4 : hdr_off + g * 4 + 4],
+                               "little")
+        for b in range(GROUP_SZ_BLOCKS):
+            field = (hdr32 >> (4 * b)) & 0xF
+            stored = field & 0x7
+            choice = field >> 3
+            m = 8 if stored == 7 else stored
+            nbytes = stored + (stored == 7)
+            acc = int.from_bytes(buf[pos : pos + 8].ljust(8, b"\0"),
+                                 "little")
+            pos += nbytes
+            for i in range(BLOCK_SZ):
+                f = (acc >> (i * m)) & ((1 << m) - 1) if m else 0
+                err = f - (1 << m) if m and (f >> (m - 1)) else f
+                delta = _i8(err + (prev_delta if choice else 0))
+                val = (prev_val + delta) & 0xFF
+                out[o] = val
+                prev_val = val
+                prev_delta = delta
+                o += 1
+    tail = n - ngroups * GROUP_SZ
+    if tail:
+        out[o:] = np.frombuffer(buf, np.uint8, count=tail, offset=pos)
+    return out

@@ -11,6 +11,8 @@ that capability through the framework's production codecs:
                  RLE) — strictly dominates the legacy delta_rle variants
 - "delta"/"doubledelta"/"tripledelta": whole-buffer nth-order transforms
 - "dyndelta"   : per-block delta vs double-delta choice (u16)
+- "dyndelta8b" : the reference's legacy byte format, byte-exact
+                 (golden/univariate8b.py; univariate_8b.cpp:1523-1677)
 - "sprintzpack": per-block bitpack without prediction (u16)
 """
 
@@ -29,6 +31,10 @@ def compress_univariate(x: np.ndarray, method: str = "sprintz",
         return api.SprintzCodec(codec, x.dtype.itemsize).compress(x)
     if method == "dyndelta":
         return online.dynamic_delta_pack_u16(x.astype(np.uint16))
+    if method == "dyndelta8b":
+        from .golden.univariate8b import compress_dyndelta_8b
+
+        return compress_dyndelta_8b(x.astype(np.uint8))
     if method == "sprintzpack":
         return online.sprintzpack_pack_u16(x.astype(np.uint16), zigzag=True)
     if method in ("delta", "doubledelta", "tripledelta"):
@@ -46,6 +52,10 @@ def decompress_univariate(buf: bytes, method: str = "sprintz",
         return api.SprintzCodec(codec, elem_sz).decompress(buf)
     if method == "dyndelta":
         return online.dynamic_delta_unpack_u16(buf)
+    if method == "dyndelta8b":
+        from .golden.univariate8b import decompress_dyndelta_8b
+
+        return decompress_dyndelta_8b(buf)
     if method == "sprintzpack":
         return online.sprintzpack_unpack_u16(buf, zigzag=True)
     if method in ("delta", "doubledelta", "tripledelta"):

@@ -125,3 +125,27 @@ def ref_decompress(name: str, buf: bytes, out_len_hint: int) -> np.ndarray:
     )
     assert n_out >= 0
     return out[:n_out].copy()
+
+
+def ref_dyndelta_compress(src: np.ndarray) -> bytes:
+    """compress8b_dyndelta (univariate_8b.cpp:1523), write_size=True."""
+    fn = getattr(_get_lib(), "_Z19compress8b_dyndeltaPhmPab")
+    fn.restype = ctypes.c_int64
+    src = np.ascontiguousarray(src, dtype=np.uint8)
+    out = np.zeros(src.size * 2 + 4096, dtype=np.int8)
+    n = fn(src.ctypes.data_as(ctypes.c_void_p),
+           ctypes.c_size_t(src.size),
+           out.ctypes.data_as(ctypes.c_void_p),
+           ctypes.c_bool(True))
+    assert n >= 0
+    return out.tobytes()[: int(n)]
+
+
+def ref_dyndelta_decompress(buf: bytes, out_len: int) -> np.ndarray:
+    fn = getattr(_get_lib(), "_Z21decompress8b_dyndeltaPaPh")
+    fn.restype = ctypes.c_int64
+    src = np.frombuffer(bytearray(buf) + b"\0" * 8, dtype=np.int8).copy()
+    out = np.zeros(out_len + 64, dtype=np.uint8)
+    n = fn(src.ctypes.data_as(ctypes.c_void_p),
+           out.ctypes.data_as(ctypes.c_void_p))
+    return out[: int(n)]

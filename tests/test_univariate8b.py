@@ -1,0 +1,53 @@
+"""Legacy dyndelta 8-bit byte format: oracle byte-exactness + round trips
+(univariate_8b.cpp:1523-1677)."""
+
+import numpy as np
+import pytest
+
+import oracle
+from sprintz_tpu.golden.univariate8b import (
+    compress_dyndelta_8b, decompress_dyndelta_8b)
+from sprintz_tpu.univariate import compress_univariate, decompress_univariate
+
+from conftest import make_stream
+
+SIZES = [0, 1, 63, 64, 65, 128, 1000, 4096, 4099]
+
+
+def test_dyndelta_roundtrip(rng):
+    for n in SIZES:
+        for kind in ("rand", "small", "zeros", "sparse", "ramp"):
+            x = make_stream(rng, n, 1, kind)
+            buf = compress_dyndelta_8b(x)
+            np.testing.assert_array_equal(decompress_dyndelta_8b(buf), x,
+                                          err_msg=f"{n}/{kind}")
+
+
+@pytest.mark.skipif(not oracle.available(), reason="oracle not built")
+def test_dyndelta_byte_exact(rng):
+    for n in SIZES:
+        for kind in ("rand", "small", "zeros", "sparse", "ramp"):
+            x = make_stream(rng, n, 1, kind)
+            mine = compress_dyndelta_8b(x)
+            ref = oracle.ref_dyndelta_compress(x)
+            assert mine == ref, f"{n}/{kind}"
+            # cross-decode both ways
+            np.testing.assert_array_equal(
+                oracle.ref_dyndelta_decompress(mine, n), x)
+            np.testing.assert_array_equal(decompress_dyndelta_8b(ref), x)
+
+
+def test_dyndelta_facade(rng):
+    x = make_stream(rng, 2000, 1, "small")
+    buf = compress_univariate(x, method="dyndelta8b")
+    np.testing.assert_array_equal(
+        decompress_univariate(buf, method="dyndelta8b"), x)
+
+
+def test_dyndelta_picks_doubledelta_on_ramps():
+    # a steady ramp has constant delta -> double-delta all zeros; the
+    # choice bit must fire and the stream must shrink accordingly
+    x = (np.arange(6400) % 256).astype(np.uint8)
+    buf = compress_dyndelta_8b(x)
+    assert len(buf) < 8 + 4 * (6400 // 64) + 6400 // 8
+    np.testing.assert_array_equal(decompress_dyndelta_8b(buf), x)
