@@ -45,6 +45,12 @@ except Exception:  # pragma: no cover
     _have_jax = False
 
 
+# max decoded bytes per device pass on the contiguous path; longer
+# streams are tiled with forecaster-state carry (keeps the working set
+# bounded for arbitrarily long streams)
+CHUNK_OUT_BYTES = 64 << 20
+
+
 @dataclasses.dataclass
 class StreamIndex:
     """Result of the host header walk: where everything lives."""
@@ -202,6 +208,43 @@ if _have_jax:
         else:
             vals = fire_decode(flat, eb, truncate_coeffs=not lowdim)
         return vals.astype(jnp.uint8 if elem_sz == 1 else jnp.uint16)
+
+
+if _have_jax:
+
+    @functools.partial(jax.jit, static_argnames=(
+        "codec", "elem_sz", "lowdim"))
+    def _decode_pass_contiguous_chunk(dense, widths, state, codec, elem_sz,
+                                      lowdim):
+        """One tile of a chunked contiguous decode.
+
+        ``state``: (3, D) int32 forecaster state entering the tile
+        (delta uses row 0 = previous value; FIRE all three rows).
+        Returns (narrow values, state leaving the tile). Keeping tiles
+        bounded keeps the device working set on the fast side of the
+        HBM working-set cliff for very long streams.
+        """
+        from .models.forecasters import fire_decode_chunk
+
+        eb = 8 * elem_sz
+        dense = dense.astype(jnp.int32)
+        widths = widths.astype(jnp.int32)
+        if lowdim:
+            errs = unpack_dims_lowdim(dense, widths)
+        else:
+            errs = unpack_rows_rowmajor(dense, widths)
+        ndata, _, ndims = errs.shape
+        flat = errs.reshape(ndata * BLOCK_SZ, ndims)
+        if codec == "delta":
+            vals = delta_decode(flat, eb)
+            vals = (vals + state[0][None, :]) & ((1 << eb) - 1)
+            new_state = state.at[0].set(vals[-1])
+        else:
+            vals, new_state = fire_decode_chunk(
+                flat, eb, truncate_coeffs=not lowdim,
+                init_state=(state[0], state[1], state[2]))
+        return vals.astype(
+            jnp.uint8 if elem_sz == 1 else jnp.uint16), new_state
 
 
 if _have_jax:
@@ -393,13 +436,32 @@ def decompress(
     if idx.total_rows:
         if idx.total_rows == ndata * BLOCK_SZ:
             # no runs anywhere -> blocks are the timeline (fast path)
-            nd_pad = next_bucket(ndata)
-            vals = _decode_pass_contiguous(
-                jnp.asarray(pad_rows(dense, nd_pad)),
-                jnp.asarray(pad_rows(idx.widths, nd_pad)),
-                codec, elem_sz, lowdim)
-            body = np.asarray(
-                vals[: idx.total_rows]).astype(udt).reshape(-1)
+            block_bytes = BLOCK_SZ * ndims * elem_sz
+            chunk_nb = max(1, CHUNK_OUT_BYTES // block_bytes)
+            if ndata > chunk_nb:
+                # tile long streams; forecaster state carries across
+                # tiles (the last tile's shape padding is harmless:
+                # nothing consumes its exit state)
+                chunk_nb = next_bucket(chunk_nb)
+                state = jnp.zeros((3, ndims), jnp.int32)
+                parts = []
+                for lo in range(0, ndata, chunk_nb):
+                    hi = min(lo + chunk_nb, ndata)
+                    vals, state = _decode_pass_contiguous_chunk(
+                        jnp.asarray(pad_rows(dense[lo:hi], chunk_nb)),
+                        jnp.asarray(pad_rows(idx.widths[lo:hi], chunk_nb)),
+                        state, codec, elem_sz, lowdim)
+                    parts.append(np.asarray(
+                        vals[: (hi - lo) * BLOCK_SZ]).astype(udt))
+                body = np.concatenate(parts).reshape(-1)
+            else:
+                nd_pad = next_bucket(ndata)
+                vals = _decode_pass_contiguous(
+                    jnp.asarray(pad_rows(dense, nd_pad)),
+                    jnp.asarray(pad_rows(idx.widths, nd_pad)),
+                    codec, elem_sz, lowdim)
+                body = np.asarray(
+                    vals[: idx.total_rows]).astype(udt).reshape(-1)
             tail = np.frombuffer(
                 buf, dtype=udt, count=remaining_len, offset=idx.tail_offset)
             return np.concatenate([body, tail])

@@ -205,3 +205,14 @@ def fire_decode(errs_zz: jnp.ndarray, elem_bits: int,
     blocks = errs_zz.reshape(nb, BLOCK_SZ, *errs_zz.shape[1:])
     return _fire_scan(blocks, elem_bits, truncate_coeffs, decode=True,
                       init_state=init_state).reshape(errs_zz.shape)
+
+
+def fire_decode_chunk(errs_zz: jnp.ndarray, elem_bits: int,
+                      truncate_coeffs: bool = True, init_state=None):
+    """fire_decode that also returns the final (prev_val, prev_delta,
+    counter) carry, for chunked/tiled decode of long streams."""
+    nb = errs_zz.shape[0] // BLOCK_SZ
+    blocks = errs_zz.reshape(nb, BLOCK_SZ, *errs_zz.shape[1:])
+    out, final = _fire_scan(blocks, elem_bits, truncate_coeffs, decode=True,
+                            init_state=init_state, return_final=True)
+    return out.reshape(errs_zz.shape), jnp.stack(final)

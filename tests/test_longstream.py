@@ -55,3 +55,18 @@ def test_cumsum_adversarial_magnitudes(rng):
     x = np.full((4096, 4), -32768, np.int32)
     got = np.asarray(hierarchical_cumsum(jnp.asarray(x), value_bits=16))
     np.testing.assert_array_equal(got, np.cumsum(x, axis=0, dtype=np.int32))
+
+
+@pytest.mark.parametrize("codec,elem_sz", [("delta", 2), ("xff", 1)])
+def test_chunked_decode_matches_single_pass(rng, codec, elem_sz, monkeypatch):
+    """Tiled decode (forecaster state carried across tiles) must be
+    bit-identical to the single-pass path."""
+    from sprintz_tpu import decoder as dec
+
+    x = make_stream(rng, 200_000, elem_sz, "rand")
+    buf = encoder.compress(x, 8, codec=codec)
+    want = dec.decompress(buf, codec=codec, elem_sz=elem_sz)
+    monkeypatch.setattr(dec, "CHUNK_OUT_BYTES", 1 << 16)  # force ~12 tiles
+    got = dec.decompress(buf, codec=codec, elem_sz=elem_sz)
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(got, x)

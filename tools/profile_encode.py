@@ -22,7 +22,12 @@ sys.path.insert(0, ".")
 
 
 def main():
+    import os
+
     import jax
+
+    if os.environ.get("SPRINTZ_PROFILE_CPU"):
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from sprintz_tpu import encoder
