@@ -10,6 +10,10 @@
 #include <cstdint>
 #include <cstring>
 
+#include <algorithm>
+#include <thread>
+#include <vector>
+
 namespace {
 
 constexpr int kBlockSz = 8;
@@ -228,14 +232,14 @@ int64_t sprintz_huff_encode(
   return pos;
 }
 
-// Table-driven decode of nchunks payloads back into symbols.
-// sym_lut/len_lut: 4096-entry (12-bit LSB-first peek) tables.
-// offsets: absolute byte offset of each chunk payload in buf.
-int64_t sprintz_huff_decode(
+namespace {
+
+// one thread's worth of chunk decodes; returns false on corrupt input
+bool huff_decode_range(
     const uint8_t* buf, const int64_t* offsets, const uint32_t* sizes,
-    int64_t nchunks, int64_t chunk_symbols, int64_t n,
+    int64_t c_begin, int64_t c_end, int64_t chunk_symbols, int64_t n,
     const uint8_t* sym_lut, const uint8_t* len_lut, uint8_t* out) {
-  for (int64_t c = 0; c < nchunks; c++) {
+  for (int64_t c = c_begin; c < c_end; c++) {
     const uint8_t* p = buf + offsets[c];
     const int64_t nbytes = sizes[c];
     const int64_t lo = c * chunk_symbols;
@@ -264,9 +268,46 @@ int64_t sprintz_huff_decode(
       const int L = len_lut[peek];
       acc >>= L;
       nbits -= L;
-      if (nbits < 0) return -1;  // corrupt: code ran past the payload
+      if (nbits < 0) return false;  // corrupt: code ran past the payload
     }
   }
+  return true;
+}
+
+}  // namespace
+
+// Table-driven decode of nchunks payloads back into symbols, threaded
+// over independent chunk ranges (each chunk's output region is fixed:
+// chunk_symbols symbols).
+// sym_lut/len_lut: 4096-entry (12-bit LSB-first peek) tables.
+// offsets: absolute byte offset of each chunk payload in buf.
+int64_t sprintz_huff_decode(
+    const uint8_t* buf, const int64_t* offsets, const uint32_t* sizes,
+    int64_t nchunks, int64_t chunk_symbols, int64_t n,
+    const uint8_t* sym_lut, const uint8_t* len_lut, uint8_t* out) {
+  int nthreads = (int)std::thread::hardware_concurrency();
+  nthreads = std::max(1, std::min({nthreads, 16, (int)(nchunks / 4)}));
+  if (nthreads <= 1 || n < (1 << 20)) {
+    return huff_decode_range(buf, offsets, sizes, 0, nchunks,
+                             chunk_symbols, n, sym_lut, len_lut, out)
+               ? n
+               : -1;
+  }
+  std::vector<std::thread> threads;
+  std::vector<char> ok(nthreads, 1);
+  const int64_t per = (nchunks + nthreads - 1) / nthreads;
+  for (int t = 0; t < nthreads; t++) {
+    const int64_t c0 = t * per;
+    const int64_t c1 = std::min(nchunks, c0 + per);
+    if (c0 >= c1) break;
+    threads.emplace_back([=, &ok] {
+      ok[t] = huff_decode_range(buf, offsets, sizes, c0, c1,
+                                chunk_symbols, n, sym_lut, len_lut, out);
+    });
+  }
+  for (auto& th : threads) th.join();
+  for (int t = 0; t < nthreads; t++)
+    if (!ok[t]) return -1;
   return n;
 }
 

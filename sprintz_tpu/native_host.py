@@ -36,7 +36,7 @@ def _build() -> ctypes.CDLL | None:
     so = cache / f"sprintz_host_{tag}.so"
     if not so.exists():
         tmp = so.with_suffix(".tmp.so")
-        cmd = ["g++", "-std=c++17", "-O3", "-fPIC", "-shared",
+        cmd = ["g++", "-std=c++17", "-O3", "-fPIC", "-shared", "-pthread",
                str(_SRC), "-o", str(tmp)]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
