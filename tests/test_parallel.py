@@ -110,3 +110,14 @@ def test_dp_decompress_from_stream(rng, mesh8, codec, elem_sz):
         np.testing.assert_array_equal(out, flat, err_msg=f"{codec}/{kind}")
         np.testing.assert_array_equal(
             out, decoder.decompress(buf, codec=codec, elem_sz=elem_sz))
+
+
+def test_multihost_framing_single_process():
+    """Single-process degradation of the multi-host helpers."""
+    from sprintz_tpu.parallel import multihost
+
+    assert multihost.maybe_init_distributed() is False
+    mesh = multihost.global_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    s = multihost.host_local_rows(800)
+    assert (s.start, s.stop) == (0, 800)
