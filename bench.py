@@ -26,7 +26,8 @@ import numpy as np
 BASELINE_DECODE_GBPS = 3.0
 
 
-def devloop_time(kernel, args, iters, vary=0, chain=False):
+def devloop_time(kernel, args, iters, vary=0, chain=False,
+                 min_seconds=0.25):
     """Per-iteration on-device time of ``kernel(*args)``.
 
     Methodology (two defenses, both required in this environment):
@@ -70,15 +71,42 @@ def devloop_time(kernel, args, iters, vary=0, chain=False):
         # feed the result or XLA dead-codes the entire loop
         return acc + jnp.sum(arr.astype(jnp.float32))
 
-    times = {}
-    for n in (iters, 3 * iters):
-        r = loop(n, *args)
+    # every dispatch gets unique inputs (a salted element of the varied
+    # arg), so no relay/runtime layer can serve a repeat execution from
+    # cache — observed symptom: the same kernel timing 4x apart across
+    # runs, and identical second calls returning implausibly fast
+    salt_counter = iter(range(1, 1 << 30))
+
+    def salted_args():
+        k = next(salt_counter)
+        aa = list(args)
+        leaf = aa[vary].reshape(-1)
+        aa[vary] = leaf.at[min(1, leaf.size - 1)].set(
+            jnp.asarray(k % 97, leaf.dtype)).reshape(aa[vary].shape)
+        jax.block_until_ready(aa[vary])
+        return aa
+
+    def timed(n):
+        aa = salted_args()
+        r = loop(n, *aa)  # warm (compile on first call)
         r.block_until_ready()
+        aa = salted_args()
         t0 = time.perf_counter()
-        r = loop(n, *args)
+        r = loop(n, *aa)
         r.block_until_ready()
-        times[n] = time.perf_counter() - t0
-    return max(times[3 * iters] - times[iters], 1e-9) / (2 * iters)
+        return time.perf_counter() - t0
+
+    # adaptive trip count: relay latency varies run to run by ~tens of
+    # ms, so the slope's signal (2n * per_iter) must dwarf that; grow n
+    # until the measured delta is large enough. n is traced — no
+    # recompile on growth.
+    n = iters
+    while True:
+        t1, t3 = timed(n), timed(3 * n)
+        delta = t3 - t1
+        if delta >= min_seconds or n >= (1 << 16):
+            return max(delta, 1e-9) / (2 * n)
+        n = min(1 << 16, n * 4)
 
 
 def main():
