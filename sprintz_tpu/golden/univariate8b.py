@@ -1,11 +1,13 @@
-"""Legacy univariate 8-bit codec: dyndelta, byte-exact.
+"""Legacy univariate 8-bit codecs: delta, doubledelta, dyndelta — byte-exact.
 
 The reference carries nine historical univariate codecs
-(univariate_8b.cpp:87-1677); dyndelta (:1523-1677) is the one with a
-byte format of its own (4-bit block headers = 3-bit width + 1-bit
-delta-vs-double-delta choice) and the direct ancestor of the online
-subsystem's dynamic predictor choice. This is its executable format
-spec, oracle-verified byte-for-byte.
+(univariate_8b.cpp:87-1677). The three with distinct own byte formats
+are implemented here as executable format specs, oracle-verified
+byte-for-byte: ``delta`` (3-bit width headers, first 8 samples
+verbatim), ``doubledelta`` (same headers, double-delta residuals from
+zero state), and ``dyndelta`` (:1523-1677 — 4-bit headers = 3-bit width
++ 1-bit delta-vs-double-delta choice, the direct ancestor of the online
+subsystem's dynamic predictor selection).
 
 Format (write_size=True):
   [u64 LE original length]
@@ -115,6 +117,157 @@ def decompress_dyndelta_8b(buf: bytes) -> np.ndarray:
                 f = (acc >> (i * m)) & ((1 << m) - 1) if m else 0
                 err = f - (1 << m) if m and (f >> (m - 1)) else f
                 delta = _i8(err + (prev_delta if choice else 0))
+                val = (prev_val + delta) & 0xFF
+                out[o] = val
+                prev_val = val
+                prev_delta = delta
+                o += 1
+    tail = n - ngroups * GROUP_SZ
+    if tail:
+        out[o:] = np.frombuffer(buf, np.uint8, count=tail, offset=pos)
+    return out
+
+
+def _pack_block(vals, nbits: int) -> bytes:
+    """pext-equivalent: low-m bits of 8 values, LSB-first
+    (kBitpackMasks8: widths 7 and 8 both pack full bytes)."""
+    m = 8 if nbits >= 7 else nbits
+    acc = 0
+    for i, v in enumerate(vals):
+        acc |= (v & ((1 << m) - 1)) << (i * m)
+    nbytes = 8 if nbits >= 7 else nbits
+    return acc.to_bytes(8, "little")[:nbytes]
+
+
+def _group_header_3b(stored: list[int]) -> bytes:
+    """8 x 3-bit fields packed LSB-first; written as a u32 whose high
+    (4th) byte is 0 — the reference does 4-byte header writes with one
+    pad byte after the last group (univariate_8b.cpp:264-267)."""
+    acc = 0
+    for b, s in enumerate(stored):
+        acc |= s << (3 * b)
+    return acc.to_bytes(4, "little")
+
+
+def compress_delta_8b(x: np.ndarray, write_size: bool = True) -> bytes:
+    """compress8b_delta (univariate_8b.cpp:196-...): first 8 bytes
+    verbatim, then per-64-sample groups of delta blocks with 3-bit width
+    headers."""
+    x = np.ascontiguousarray(x, dtype=np.uint8)
+    n = x.size
+    out = bytearray()
+    if write_size:
+        out += int(n).to_bytes(8, "little")
+    cpy = min(8, n)
+    out += x[:cpy].tobytes()
+    rest = n - cpy
+    ngroups = rest // GROUP_SZ
+    header_sz = 1 + 3 * ngroups if ngroups else 0
+    headers = bytearray(header_sz)
+    payload = bytearray()
+    pos = cpy
+    for g in range(ngroups):
+        stored = []
+        for b in range(GROUP_SZ_BLOCKS):
+            deltas = [_i8(int(x[pos + i]) - int(x[pos + i - 1]))
+                      for i in range(BLOCK_SZ)]
+            pos += BLOCK_SZ
+            nbits = max(_signed_cost(v) for v in deltas)
+            stored.append(nbits - (nbits == 8))
+            payload += _pack_block(deltas, nbits)
+        headers[g * 3 : g * 3 + 4] = _group_header_3b(stored)
+    out += headers
+    out += payload
+    out += x[pos:].tobytes()
+    return bytes(out)
+
+
+def decompress_delta_8b(buf: bytes) -> np.ndarray:
+    n = int.from_bytes(buf[:8], "little")
+    out = np.empty(n, dtype=np.uint8)
+    cpy = min(8, n)
+    out[:cpy] = np.frombuffer(buf, np.uint8, count=cpy, offset=8)
+    rest = n - cpy
+    ngroups = rest // GROUP_SZ
+    hdr_off = 8 + cpy
+    pos = hdr_off + (1 + 3 * ngroups if ngroups else 0)
+    o = cpy
+    for g in range(ngroups):
+        hdr = int.from_bytes(buf[hdr_off + g * 3 : hdr_off + g * 3 + 3],
+                             "little")
+        for b in range(GROUP_SZ_BLOCKS):
+            stored = (hdr >> (3 * b)) & 0x7
+            m = 8 if stored == 7 else stored
+            nbytes = 8 if stored == 7 else stored
+            acc = int.from_bytes(buf[pos : pos + 8].ljust(8, b"\0"), "little")
+            pos += nbytes
+            for i in range(BLOCK_SZ):
+                f = (acc >> (i * m)) & ((1 << m) - 1) if m else 0
+                err = f - (1 << m) if m and (f >> (m - 1)) else f
+                out[o] = (int(out[o - 1]) + err) & 0xFF
+                o += 1
+    tail = n - cpy - ngroups * GROUP_SZ
+    if tail:
+        out[o:] = np.frombuffer(buf, np.uint8, count=tail, offset=pos)
+    return out
+
+
+def compress_doubledelta_8b(x: np.ndarray, write_size: bool = True) -> bytes:
+    """compress8b_doubledelta (univariate_8b.cpp:...): double-delta
+    blocks with continuous (prev_val, prev_delta) state from zeros."""
+    x = np.ascontiguousarray(x, dtype=np.uint8)
+    n = x.size
+    out = bytearray()
+    if write_size:
+        out += int(n).to_bytes(8, "little")
+    ngroups = n // GROUP_SZ
+    headers = bytearray(1 + 3 * ngroups)
+    payload = bytearray()
+    prev_val = 0
+    prev_delta = 0
+    pos = 0
+    for g in range(ngroups):
+        stored = []
+        for b in range(GROUP_SZ_BLOCKS):
+            dd = []
+            for i in range(BLOCK_SZ):
+                delta = _i8(int(x[pos]) - prev_val)
+                dd.append(_i8(delta - prev_delta))
+                prev_val = int(x[pos])
+                prev_delta = delta
+                pos += 1
+            nbits = max(_signed_cost(v) for v in dd)
+            stored.append(nbits - (nbits == 8))
+            payload += _pack_block(dd, nbits)
+        headers[g * 3 : g * 3 + 4] = _group_header_3b(stored)
+    out += headers
+    out += payload
+    out += x[pos:].tobytes()
+    return bytes(out)
+
+
+def decompress_doubledelta_8b(buf: bytes) -> np.ndarray:
+    n = int.from_bytes(buf[:8], "little")
+    ngroups = n // GROUP_SZ
+    hdr_off = 8
+    pos = hdr_off + 1 + 3 * ngroups
+    out = np.empty(n, dtype=np.uint8)
+    prev_val = 0
+    prev_delta = 0
+    o = 0
+    for g in range(ngroups):
+        hdr = int.from_bytes(buf[hdr_off + g * 3 : hdr_off + g * 3 + 3],
+                             "little")
+        for b in range(GROUP_SZ_BLOCKS):
+            stored = (hdr >> (3 * b)) & 0x7
+            m = 8 if stored == 7 else stored
+            nbytes = 8 if stored == 7 else stored
+            acc = int.from_bytes(buf[pos : pos + 8].ljust(8, b"\0"), "little")
+            pos += nbytes
+            for i in range(BLOCK_SZ):
+                f = (acc >> (i * m)) & ((1 << m) - 1) if m else 0
+                err = f - (1 << m) if m and (f >> (m - 1)) else f
+                delta = _i8(err + prev_delta)
                 val = (prev_val + delta) & 0xFF
                 out[o] = val
                 prev_val = val

@@ -11,8 +11,8 @@ that capability through the framework's production codecs:
                  RLE) — strictly dominates the legacy delta_rle variants
 - "delta"/"doubledelta"/"tripledelta": whole-buffer nth-order transforms
 - "dyndelta"   : per-block delta vs double-delta choice (u16)
-- "dyndelta8b" : the reference's legacy byte format, byte-exact
-                 (golden/univariate8b.py; univariate_8b.cpp:1523-1677)
+- "delta8b"/"doubledelta8b"/"dyndelta8b": the reference's legacy byte
+                 formats, byte-exact (golden/univariate8b.py)
 - "sprintzpack": per-block bitpack without prediction (u16)
 """
 
@@ -31,10 +31,13 @@ def compress_univariate(x: np.ndarray, method: str = "sprintz",
         return api.SprintzCodec(codec, x.dtype.itemsize).compress(x)
     if method == "dyndelta":
         return online.dynamic_delta_pack_u16(x.astype(np.uint16))
-    if method == "dyndelta8b":
-        from .golden.univariate8b import compress_dyndelta_8b
+    if method in ("delta8b", "doubledelta8b", "dyndelta8b"):
+        from .golden import univariate8b as u8b
 
-        return compress_dyndelta_8b(x.astype(np.uint8))
+        enc = {"delta8b": u8b.compress_delta_8b,
+               "doubledelta8b": u8b.compress_doubledelta_8b,
+               "dyndelta8b": u8b.compress_dyndelta_8b}[method]
+        return enc(x.astype(np.uint8))
     if method == "sprintzpack":
         return online.sprintzpack_pack_u16(x.astype(np.uint16), zigzag=True)
     if method in ("delta", "doubledelta", "tripledelta"):
@@ -52,10 +55,13 @@ def decompress_univariate(buf: bytes, method: str = "sprintz",
         return api.SprintzCodec(codec, elem_sz).decompress(buf)
     if method == "dyndelta":
         return online.dynamic_delta_unpack_u16(buf)
-    if method == "dyndelta8b":
-        from .golden.univariate8b import decompress_dyndelta_8b
+    if method in ("delta8b", "doubledelta8b", "dyndelta8b"):
+        from .golden import univariate8b as u8b
 
-        return decompress_dyndelta_8b(buf)
+        dec = {"delta8b": u8b.decompress_delta_8b,
+               "doubledelta8b": u8b.decompress_doubledelta_8b,
+               "dyndelta8b": u8b.decompress_dyndelta_8b}[method]
+        return dec(buf)
     if method == "sprintzpack":
         return online.sprintzpack_unpack_u16(buf, zigzag=True)
     if method in ("delta", "doubledelta", "tripledelta"):

@@ -149,3 +149,32 @@ def ref_dyndelta_decompress(buf: bytes, out_len: int) -> np.ndarray:
     n = fn(src.ctypes.data_as(ctypes.c_void_p),
            out.ctypes.data_as(ctypes.c_void_p))
     return out[: int(n)]
+
+
+_UNIVARIATE_SYMBOLS = {
+    "delta8b": ("_Z16compress8b_deltaPhmPab", "_Z18decompress8b_deltaPaPh"),
+    "doubledelta8b": ("_Z22compress8b_doubledeltaPhmPab",
+                      "_Z24decompress8b_doubledeltaPaPh"),
+}
+
+
+def ref_univariate_compress(name: str, src: np.ndarray) -> bytes:
+    fn = getattr(_get_lib(), _UNIVARIATE_SYMBOLS[name][0])
+    fn.restype = ctypes.c_int64
+    src = np.ascontiguousarray(src, dtype=np.uint8)
+    out = np.zeros(src.size * 2 + 4096, dtype=np.int8)
+    n = fn(src.ctypes.data_as(ctypes.c_void_p), ctypes.c_size_t(src.size),
+           out.ctypes.data_as(ctypes.c_void_p), ctypes.c_bool(True))
+    assert n >= 0
+    return out.tobytes()[: int(n)]
+
+
+def ref_univariate_decompress(name: str, buf: bytes, out_len: int
+                              ) -> np.ndarray:
+    fn = getattr(_get_lib(), _UNIVARIATE_SYMBOLS[name][1])
+    fn.restype = ctypes.c_int64
+    src = np.frombuffer(bytearray(buf) + b"\0" * 8, dtype=np.int8).copy()
+    out = np.zeros(out_len + 64, dtype=np.uint8)
+    n = fn(src.ctypes.data_as(ctypes.c_void_p),
+           out.ctypes.data_as(ctypes.c_void_p))
+    return out[: int(n)]

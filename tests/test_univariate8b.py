@@ -51,3 +51,32 @@ def test_dyndelta_picks_doubledelta_on_ramps():
     buf = compress_dyndelta_8b(x)
     assert len(buf) < 8 + 4 * (6400 // 64) + 6400 // 8
     np.testing.assert_array_equal(decompress_dyndelta_8b(buf), x)
+
+
+@pytest.mark.skipif(not oracle.available(), reason="oracle not built")
+def test_delta_doubledelta_byte_exact(rng):
+    from sprintz_tpu.golden import univariate8b as u8b
+
+    pairs = {
+        "delta8b": (u8b.compress_delta_8b, u8b.decompress_delta_8b),
+        "doubledelta8b": (u8b.compress_doubledelta_8b,
+                          u8b.decompress_doubledelta_8b),
+    }
+    for name, (enc, dec) in pairs.items():
+        for n in [0, 1, 7, 8, 9, 63, 64, 71, 73, 1000, 4099]:
+            for kind in ("rand", "small", "zeros", "ramp"):
+                x = make_stream(rng, n, 1, kind)
+                mine = enc(x)
+                assert mine == oracle.ref_univariate_compress(name, x), \
+                    f"{name}/{n}/{kind}"
+                np.testing.assert_array_equal(dec(mine), x)
+                np.testing.assert_array_equal(
+                    oracle.ref_univariate_decompress(name, mine, n), x)
+
+
+def test_legacy_facade_roundtrips(rng):
+    x = make_stream(rng, 3000, 1, "small")
+    for m in ("delta8b", "doubledelta8b", "dyndelta8b"):
+        buf = compress_univariate(x, method=m)
+        np.testing.assert_array_equal(
+            decompress_univariate(buf, method=m), x, err_msg=m)
