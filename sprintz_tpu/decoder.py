@@ -396,6 +396,83 @@ def decode_indexed(buf: bytes, idx: StreamIndex, ndims: int, elem_sz: int,
     return np.asarray(vals[: idx.total_rows]).astype(udt)
 
 
+def decompress_batch(
+    bufs: list[bytes],
+    codec: str = "delta",
+    elem_sz: int = 1,
+) -> list[np.ndarray]:
+    """Decode S streams in one device pass (counterpart of
+    encoder.compress_batch).
+
+    All streams must share ndims; the per-stream walks run on host
+    (native), payloads are padded to a common block count, and the
+    contiguous decode pass is vmapped over the batch — FIRE's scan then
+    runs S*D lanes wide, the throughput axis for many small streams
+    (SURVEY §5). Streams containing RLE runs fall back to per-stream
+    decode (correct, just not batched).
+    """
+    if not _have_jax or not bufs:
+        return [decompress(b, codec, elem_sz) for b in bufs]
+    metas = [read_metadata_rle(b) for b in bufs]
+    ndims = metas[0][2]
+    simple = [i for i, (ng, rem, nd) in enumerate(metas)
+              if ng == 0 and rem < MIN_DATA_SIZE]
+    udt = np.uint8 if elem_sz == 1 else np.uint16
+    out: list[np.ndarray | None] = [None] * len(bufs)
+    for i in simple:
+        out[i] = np.frombuffer(bufs[i], dtype=udt, count=metas[i][1],
+                               offset=METADATA_LEN_RLE).copy()
+    todo = [i for i in range(len(bufs)) if out[i] is None]
+    if not todo:
+        return out
+    lowdim = ndims <= LOWDIM_MAX_NDIMS[elem_sz]
+    idxs = {i: walk_headers(bufs[i], metas[i][0], ndims, elem_sz,
+                            lowdim=lowdim) for i in todo}
+    batchable = [i for i in todo
+                 if metas[i][2] == ndims
+                 and idxs[i].total_rows == idxs[i].widths.shape[0] * BLOCK_SZ
+                 and idxs[i].total_rows > 0]
+    for i in todo:
+        if i not in batchable:
+            out[i] = decompress(bufs[i], codec, elem_sz)
+    if batchable:
+        denses = {i: gather_payloads(bufs[i], idxs[i], ndims, elem_sz,
+                                     lowdim) for i in batchable}
+        nd_pad = next_bucket(max(idxs[i].widths.shape[0]
+                                 for i in batchable))
+        maxb = max(denses[i].shape[2] for i in batchable)
+        S = len(batchable)
+        dense_b = np.zeros(
+            (S, nd_pad, denses[batchable[0]].shape[1], maxb), np.uint8)
+        widths_b = np.zeros((S, nd_pad, ndims), np.int32)
+        for s, i in enumerate(batchable):
+            d = denses[i]
+            dense_b[s, : d.shape[0], :, : d.shape[2]] = d
+            widths_b[s, : d.shape[0]] = idxs[i].widths
+        vals = _decode_pass_contiguous_batch(
+            jnp.asarray(dense_b), jnp.asarray(widths_b), codec, elem_sz,
+            lowdim)
+        vals = np.asarray(vals)
+        for s, i in enumerate(batchable):
+            body = vals[s, : idxs[i].total_rows].astype(udt).reshape(-1)
+            tail = np.frombuffer(bufs[i], dtype=udt, count=metas[i][1],
+                                 offset=idxs[i].tail_offset)
+            out[i] = np.concatenate([body, tail])
+    return out
+
+
+if _have_jax:
+
+    @functools.partial(jax.jit, static_argnames=(
+        "codec", "elem_sz", "lowdim"))
+    def _decode_pass_contiguous_batch(dense, widths, codec, elem_sz,
+                                      lowdim):
+        f = functools.partial(
+            _decode_pass_contiguous.__wrapped__, codec=codec,
+            elem_sz=elem_sz, lowdim=lowdim)
+        return jax.vmap(f)(dense, widths)
+
+
 def decompress(
     buf: bytes,
     codec: str = "delta",

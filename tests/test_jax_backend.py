@@ -56,3 +56,22 @@ def test_compress_batch_byte_exact(rng):
     for s in range(S):
         assert batch[s] == encoder.compress(
             streams[s].reshape(-1), D, codec="xff")
+
+
+def test_decompress_batch(rng):
+    """Batched decode == per-stream decode, mixed content (contiguous,
+    RLE-heavy fallback, verbatim-small)."""
+    from sprintz_tpu.decoder import decompress_batch
+
+    D = 9
+    streams = []
+    for kind, n in [("rand", 900), ("small", 1200), ("zeros", 2000),
+                    ("rand", 12), ("sparse", 1500)]:
+        x = make_stream(rng, n * D if n > 12 else n, 1, kind)
+        streams.append(x)
+    bufs = [encoder.compress(x, D, codec="xff") for x in streams]
+    outs = decompress_batch(bufs, codec="xff", elem_sz=1)
+    for x, got, buf in zip(streams, outs, bufs):
+        np.testing.assert_array_equal(got, x)
+        np.testing.assert_array_equal(
+            got, decoder.decompress(buf, codec="xff", elem_sz=1))
