@@ -277,3 +277,191 @@ def decompress_doubledelta_8b(buf: bytes) -> np.ndarray:
     if tail:
         out[o:] = np.frombuffer(buf, np.uint8, count=tail, offset=pos)
     return out
+
+
+def compress_delta_simple_8b(x: np.ndarray, write_size: bool = True) -> bytes:
+    """compress8b_delta_simple (univariate_8b.cpp:87-150): 2-block
+    groups, one header byte per group (two 4-bit width nibbles),
+    continuous delta state from 0, trailing len%16 verbatim."""
+    x = np.ascontiguousarray(x, dtype=np.uint8)
+    n = x.size
+    nblocks = n // BLOCK_SZ
+    ngroups = n // 16
+    out = bytearray()
+    if write_size:
+        out += int(n).to_bytes(8, "little")
+    headers = bytearray(nblocks // 2)
+    payload = bytearray()
+    prev_val = 0
+    pos = 0
+    for g in range(ngroups):
+        nibs = []
+        for _b in range(2):
+            deltas = []
+            for _i in range(BLOCK_SZ):
+                deltas.append(_i8(int(x[pos]) - prev_val))
+                prev_val = int(x[pos])
+                pos += 1
+            nbits = max(_signed_cost(v) for v in deltas)
+            nbits += nbits == 7  # 7b treated as 8b at decoder
+            nibs.append(nbits - (nbits == 8))
+            m = 8 if nbits == 8 else nbits
+            acc = 0
+            for i, v in enumerate(deltas):
+                acc |= (v & ((1 << m) - 1)) << (i * m)
+            payload += acc.to_bytes(8, "little")[:nbits]
+        headers[g] = nibs[0] | (nibs[1] << 4)
+    out += headers
+    out += payload
+    out += x[pos:].tobytes()
+    return bytes(out)
+
+
+def decompress_delta_simple_8b(buf: bytes) -> np.ndarray:
+    n = int.from_bytes(buf[:8], "little")
+    nblocks = n // BLOCK_SZ
+    ngroups = n // 16
+    hdr_off = 8
+    pos = hdr_off + nblocks // 2
+    out = np.empty(n, dtype=np.uint8)
+    prev_val = 0
+    o = 0
+    for g in range(ngroups):
+        hdr = buf[hdr_off + g]
+        for nib in (hdr & 0xF, hdr >> 4):
+            nbits = 8 if nib == 7 else nib
+            m = nbits
+            acc = int.from_bytes(buf[pos : pos + 8].ljust(8, b"\0"), "little")
+            pos += nbits
+            for i in range(BLOCK_SZ):
+                f = (acc >> (i * m)) & ((1 << m) - 1) if m else 0
+                err = f - (1 << m) if m and (f >> (m - 1)) else f
+                prev_val = (prev_val + err) & 0xFF
+                out[o] = prev_val
+                o += 1
+    tail = n - ngroups * 16
+    if tail:
+        out[o:] = np.frombuffer(buf, np.uint8, count=tail, offset=pos)
+    return out
+
+
+def _varint15(length: int) -> bytes:
+    if length > 0x7F:
+        return bytes([(length & 0x7F) | 0x80, length >> 7])
+    return bytes([length & 0x7F])
+
+
+def compress_delta_rle_8b(x: np.ndarray, write_size: bool = True) -> bytes:
+    """compress8b_delta_rle (univariate_8b.cpp): per-group 3-byte width
+    headers placed BEFORE each group's payload; zero-delta (constant)
+    block runs collapse to a 7/15-bit varint in a width-0 slot. Metadata
+    is {u32 ngroups, u32 len - ngroups*64}; the first sample is stored
+    verbatim. Mirrors the reference's end-of-data abort path (varint +
+    zero-filled remaining slots) and run-cap re-entry exactly."""
+    x = np.ascontiguousarray(x, dtype=np.uint8)
+    n = x.size
+    body = bytearray()
+    cpy = min(1, n)
+    body += x[:cpy].tobytes()
+    p = cpy
+    last_full = n - GROUP_SZ
+    ngroups = 0
+    finished = False
+
+    def read_block(p):
+        deltas = [_i8(int(x[p + i]) - int(x[p + i - 1]))
+                  for i in range(BLOCK_SZ)]
+        return deltas, max(_signed_cost(v) for v in deltas)
+
+    while p <= last_full and not finished:
+        slots = [0] * GROUP_SZ_BLOCKS
+        pieces = bytearray()
+        b = 0
+        ncb = 0
+        while b < GROUP_SZ_BLOCKS:
+            deltas, nbits = read_block(p)
+            p += BLOCK_SZ
+            slots[b] = nbits - (nbits == 8)
+            while nbits == 0 and ncb < 0x7FFF:
+                ncb += 1
+                if p < last_full + BLOCK_SZ * b:
+                    deltas, nbits = read_block(p)
+                    p += BLOCK_SZ
+                else:
+                    # end-of-data abort: emit run, fill remaining slots
+                    # with empty (zero-length) runs
+                    slots[b] = 0
+                    b += 1
+                    pieces += _varint15(ncb)
+                    while b < GROUP_SZ_BLOCKS:
+                        slots[b] = 0
+                        pieces += b"\x00"
+                        b += 1
+                    finished = True
+                    break
+            if finished:
+                break
+            if ncb:
+                slots[b] = 0
+                b += 1
+                pieces += _varint15(ncb)
+                p -= BLOCK_SZ  # re-read the nonzero block
+                ncb = 0
+                continue
+            m = 8 if nbits >= 7 else nbits
+            acc = 0
+            for i, v in enumerate(deltas):
+                acc |= (v & ((1 << m) - 1)) << (i * m)
+            pieces += acc.to_bytes(8, "little")[: 8 if nbits >= 7 else nbits]
+            b += 1
+        hdr = 0
+        for i, s in enumerate(slots):
+            hdr |= s << (3 * i)
+        body += hdr.to_bytes(3, "little")
+        body += pieces
+        ngroups += 1
+    body += x[p:].tobytes()
+    meta = (int(ngroups).to_bytes(4, "little")
+            + int(n - ngroups * GROUP_SZ).to_bytes(4, "little", signed=False)
+            ) if write_size else b""
+    return bytes(meta + body)
+
+
+def decompress_delta_rle_8b(buf: bytes) -> np.ndarray:
+    ngroups = int.from_bytes(buf[0:4], "little")
+    extra = int.from_bytes(buf[4:8], "little")
+    n = ngroups * GROUP_SZ + extra
+    out = np.empty(n, dtype=np.uint8)
+    cpy = min(1, n)
+    if cpy:
+        out[0] = buf[8]
+    pos = 8 + cpy
+    prev_val = int(out[0]) if cpy else 0
+    o = cpy
+    for _g in range(ngroups):
+        hdr = int.from_bytes(buf[pos : pos + 3], "little")
+        pos += 3
+        for b in range(GROUP_SZ_BLOCKS):
+            nbits = (hdr >> (3 * b)) & 0x7
+            if nbits == 0:
+                low = buf[pos]
+                high = buf[pos + 1] if (low & 0x80) else 0
+                length = (low & 0x7F) | (high << 7)
+                out[o : o + length * BLOCK_SZ] = prev_val
+                o += length * BLOCK_SZ
+                pos += 1 + (1 if high > 0 else 0)
+                continue
+            m = 8 if nbits == 7 else nbits
+            nbytes = 8 if nbits == 7 else nbits
+            acc = int.from_bytes(buf[pos : pos + 8].ljust(8, b"\0"), "little")
+            pos += nbytes
+            for i in range(BLOCK_SZ):
+                f = (acc >> (i * m)) & ((1 << m) - 1)
+                err = f - (1 << m) if (f >> (m - 1)) else f
+                prev_val = (prev_val + err) & 0xFF
+                out[o] = prev_val
+                o += 1
+    remaining = n - o
+    if remaining:
+        out[o:] = np.frombuffer(buf, np.uint8, count=remaining, offset=pos)
+    return out

@@ -11,8 +11,9 @@ that capability through the framework's production codecs:
                  RLE) — strictly dominates the legacy delta_rle variants
 - "delta"/"doubledelta"/"tripledelta": whole-buffer nth-order transforms
 - "dyndelta"   : per-block delta vs double-delta choice (u16)
-- "delta8b"/"doubledelta8b"/"dyndelta8b": the reference's legacy byte
-                 formats, byte-exact (golden/univariate8b.py)
+- "delta_simple8b"/"delta8b"/"delta_rle8b"/"doubledelta8b"/"dyndelta8b":
+                 the reference's legacy byte formats, byte-exact
+                 (golden/univariate8b.py)
 - "sprintzpack": per-block bitpack without prediction (u16)
 """
 
@@ -31,10 +32,12 @@ def compress_univariate(x: np.ndarray, method: str = "sprintz",
         return api.SprintzCodec(codec, x.dtype.itemsize).compress(x)
     if method == "dyndelta":
         return online.dynamic_delta_pack_u16(x.astype(np.uint16))
-    if method in ("delta8b", "doubledelta8b", "dyndelta8b"):
+    if method.endswith("8b"):
         from .golden import univariate8b as u8b
 
         enc = {"delta8b": u8b.compress_delta_8b,
+               "delta_simple8b": u8b.compress_delta_simple_8b,
+               "delta_rle8b": u8b.compress_delta_rle_8b,
                "doubledelta8b": u8b.compress_doubledelta_8b,
                "dyndelta8b": u8b.compress_dyndelta_8b}[method]
         return enc(x.astype(np.uint8))
@@ -55,10 +58,12 @@ def decompress_univariate(buf: bytes, method: str = "sprintz",
         return api.SprintzCodec(codec, elem_sz).decompress(buf)
     if method == "dyndelta":
         return online.dynamic_delta_unpack_u16(buf)
-    if method in ("delta8b", "doubledelta8b", "dyndelta8b"):
+    if method.endswith("8b"):
         from .golden import univariate8b as u8b
 
         dec = {"delta8b": u8b.decompress_delta_8b,
+               "delta_simple8b": u8b.decompress_delta_simple_8b,
+               "delta_rle8b": u8b.decompress_delta_rle_8b,
                "doubledelta8b": u8b.decompress_doubledelta_8b,
                "dyndelta8b": u8b.decompress_dyndelta_8b}[method]
         return dec(buf)

@@ -155,6 +155,9 @@ _UNIVARIATE_SYMBOLS = {
     "delta8b": ("_Z16compress8b_deltaPhmPab", "_Z18decompress8b_deltaPaPh"),
     "doubledelta8b": ("_Z22compress8b_doubledeltaPhmPab",
                       "_Z24decompress8b_doubledeltaPaPh"),
+    "delta_simple8b": ("_Z23compress8b_delta_simplePhmPab", None),
+    "delta_rle8b": ("_Z20compress8b_delta_rlePhmPab",
+                    "_Z22decompress8b_delta_rlePaPh"),
 }
 
 

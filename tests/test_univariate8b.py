@@ -80,3 +80,24 @@ def test_legacy_facade_roundtrips(rng):
         buf = compress_univariate(x, method=m)
         np.testing.assert_array_equal(
             decompress_univariate(buf, method=m), x, err_msg=m)
+
+
+@pytest.mark.skipif(not oracle.available(), reason="oracle not built")
+def test_delta_simple_rle_byte_exact(rng):
+    from sprintz_tpu.golden import univariate8b as u8b
+
+    for n in [0, 1, 15, 16, 17, 63, 64, 65, 1000, 4099, 50_000]:
+        for kind in ("rand", "small", "zeros", "sparse", "ramp"):
+            x = make_stream(rng, n, 1, kind)
+            mine = u8b.compress_delta_simple_8b(x)
+            assert mine == oracle.ref_univariate_compress(
+                "delta_simple8b", x), f"simple/{n}/{kind}"
+            np.testing.assert_array_equal(
+                u8b.decompress_delta_simple_8b(mine), x)
+            mine = u8b.compress_delta_rle_8b(x)
+            assert mine == oracle.ref_univariate_compress(
+                "delta_rle8b", x), f"rle/{n}/{kind}"
+            np.testing.assert_array_equal(
+                u8b.decompress_delta_rle_8b(mine), x)
+            np.testing.assert_array_equal(
+                oracle.ref_univariate_decompress("delta_rle8b", mine, n), x)
