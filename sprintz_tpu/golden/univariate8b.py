@@ -1,13 +1,16 @@
-"""Legacy univariate 8-bit codecs: delta, doubledelta, dyndelta — byte-exact.
+"""Legacy univariate 8-bit codecs — ALL NINE, byte-exact.
 
 The reference carries nine historical univariate codecs
-(univariate_8b.cpp:87-1677). The three with distinct own byte formats
-are implemented here as executable format specs, oracle-verified
-byte-for-byte: ``delta`` (3-bit width headers, first 8 samples
-verbatim), ``doubledelta`` (same headers, double-delta residuals from
-zero state), and ``dyndelta`` (:1523-1677 — 4-bit headers = 3-bit width
-+ 1-bit delta-vs-double-delta choice, the direct ancestor of the online
-subsystem's dynamic predictor selection).
+(univariate_8b.cpp:87-1677), precursors of the multivariate design.
+Every one is implemented here as an executable format spec,
+oracle-verified byte-for-byte against the compiled reference:
+delta_simple (nibble-pair headers), delta / doubledelta (3-bit width
+headers, separated header area), online / delta_online / delta2_online
+(inline per-group headers; raw, lag-1, lag-2 residuals), delta_rle /
+delta_rle2 (constant-run varints, block- vs sample-granular), and
+dyndelta (:1523-1677 — 4-bit headers = 3-bit width + 1-bit
+delta-vs-double-delta choice, the ancestor of the online subsystem's
+dynamic predictor selection).
 
 Format (write_size=True):
   [u64 LE original length]
@@ -450,6 +453,241 @@ def decompress_delta_rle_8b(buf: bytes) -> np.ndarray:
                 out[o : o + length * BLOCK_SZ] = prev_val
                 o += length * BLOCK_SZ
                 pos += 1 + (1 if high > 0 else 0)
+                continue
+            m = 8 if nbits == 7 else nbits
+            nbytes = 8 if nbits == 7 else nbits
+            acc = int.from_bytes(buf[pos : pos + 8].ljust(8, b"\0"), "little")
+            pos += nbytes
+            for i in range(BLOCK_SZ):
+                f = (acc >> (i * m)) & ((1 << m) - 1)
+                err = f - (1 << m) if (f >> (m - 1)) else f
+                prev_val = (prev_val + err) & 0xFF
+                out[o] = prev_val
+                o += 1
+    remaining = n - o
+    if remaining:
+        out[o:] = np.frombuffer(buf, np.uint8, count=remaining, offset=pos)
+    return out
+
+
+def _compress_inline_groups(x: np.ndarray, cpy_len: int, lag: int,
+                            write_size: bool) -> bytes:
+    """Shared skeleton of the "online" legacy trio (univariate_8b.cpp):
+    u64 length, cpy_len verbatim samples, then per-group [3-byte header]
+    [8 packed blocks]; residual = x[i] - x[i-lag] (lag 0 = raw bytes).
+    """
+    x = np.ascontiguousarray(x, dtype=np.uint8)
+    n = x.size
+    out = bytearray()
+    if write_size:
+        out += int(n).to_bytes(8, "little")
+    cpy = min(cpy_len, n)
+    out += x[:cpy].tobytes()
+    rest = n - cpy
+    ngroups = rest // GROUP_SZ
+    pos = cpy
+    for _g in range(ngroups):
+        slots = []
+        pieces = bytearray()
+        for _b in range(GROUP_SZ_BLOCKS):
+            if lag == 0:
+                vals = [_i8(int(x[pos + i])) for i in range(BLOCK_SZ)]
+            else:
+                vals = [_i8(int(x[pos + i]) - int(x[pos + i - lag]))
+                        for i in range(BLOCK_SZ)]
+            pos += BLOCK_SZ
+            nbits = max(_signed_cost(v) for v in vals)
+            slots.append(nbits - (nbits == 8))
+            pieces += _pack_block(vals, nbits)
+        hdr = 0
+        for i, s in enumerate(slots):
+            hdr |= s << (3 * i)
+        out += hdr.to_bytes(3, "little")
+        out += pieces
+    out += x[pos:].tobytes()
+    return bytes(out)
+
+
+def _decompress_inline_groups(buf: bytes, cpy_len: int, lag: int
+                              ) -> np.ndarray:
+    n = int.from_bytes(buf[:8], "little")
+    out = np.empty(n, dtype=np.uint8)
+    cpy = min(cpy_len, n)
+    out[:cpy] = np.frombuffer(buf, np.uint8, count=cpy, offset=8)
+    rest = n - cpy
+    ngroups = rest // GROUP_SZ
+    pos = 8 + cpy
+    o = cpy
+    for _g in range(ngroups):
+        hdr = int.from_bytes(buf[pos : pos + 3], "little")
+        pos += 3
+        for b in range(GROUP_SZ_BLOCKS):
+            stored = (hdr >> (3 * b)) & 0x7
+            m = 8 if stored == 7 else stored
+            nbytes = 8 if stored == 7 else stored
+            acc = int.from_bytes(buf[pos : pos + 8].ljust(8, b"\0"), "little")
+            pos += nbytes
+            for i in range(BLOCK_SZ):
+                f = (acc >> (i * m)) & ((1 << m) - 1) if m else 0
+                err = f - (1 << m) if m and (f >> (m - 1)) else f
+                if lag == 0:
+                    out[o] = err & 0xFF
+                else:
+                    out[o] = (int(out[o - lag]) + err) & 0xFF
+                o += 1
+    tail = n - cpy - ngroups * GROUP_SZ
+    if tail:
+        out[o:] = np.frombuffer(buf, np.uint8, count=tail, offset=pos)
+    return out
+
+
+def compress_online_8b(x, write_size=True):
+    """compress8b_online: bitpack-only, inline headers, 8-sample prefix."""
+    return _compress_inline_groups(x, 8, 0, write_size)
+
+
+def decompress_online_8b(buf):
+    return _decompress_inline_groups(buf, 8, 0)
+
+
+def compress_delta_online_8b(x, write_size=True):
+    """compress8b_delta_online: lag-1 delta, inline headers, 1-sample
+    prefix."""
+    return _compress_inline_groups(x, 1, 1, write_size)
+
+
+def decompress_delta_online_8b(buf):
+    return _decompress_inline_groups(buf, 1, 1)
+
+
+def compress_delta2_online_8b(x, write_size=True):
+    """compress8b_delta2_online: lag-2 difference (delta_delay=2),
+    inline headers, 8-sample prefix."""
+    return _compress_inline_groups(x, 8, 2, write_size)
+
+
+def decompress_delta2_online_8b(buf):
+    return _decompress_inline_groups(buf, 8, 2)
+
+
+def compress_delta_rle2_8b(x: np.ndarray, write_size: bool = True) -> bytes:
+    """compress8b_delta_rle2: like delta_rle but run lengths are counted
+    in SAMPLES (nconstant_blocks<<3 plus the run-ending block's leading
+    zero deltas via tzcnt), the two samples after a run are stored
+    verbatim, and the block after a run resumes past those samples."""
+    x = np.ascontiguousarray(x, dtype=np.uint8)
+    n = x.size
+    body = bytearray()
+    cpy = min(1, n)
+    body += x[:cpy].tobytes()
+    p = cpy
+    last_full = n - GROUP_SZ
+    ngroups = 0
+    finished = False
+
+    def read_block(p):
+        deltas = [_i8(int(x[p + i]) - int(x[p + i - 1]))
+                  for i in range(BLOCK_SZ)]
+        return deltas, max(_signed_cost(v) for v in deltas)
+
+    while p <= last_full and not finished:
+        slots = [0] * GROUP_SZ_BLOCKS
+        pieces = bytearray()
+        b = 0
+        ncb = 0
+        while b < GROUP_SZ_BLOCKS:
+            deltas, nbits = read_block(p)
+            p += BLOCK_SZ
+            slots[b] = nbits - (nbits == 8)
+            while nbits == 0 and ncb < (0x7FFF >> 3):
+                ncb += 1
+                if p < last_full + BLOCK_SZ * (b - 1):
+                    deltas, nbits = read_block(p)
+                    p += BLOCK_SZ
+                else:
+                    slots[b] = 0
+                    b += 1
+                    length = ncb << 3
+                    pieces += _varint15(length)
+                    if length > 0:
+                        pieces += x[p : p + 2].tobytes()
+                        p += 2
+                    while b < GROUP_SZ_BLOCKS:
+                        slots[b] = 0
+                        pieces += b"\x00"
+                        b += 1
+                    finished = True
+                    break
+            if finished:
+                break
+            if ncb:
+                slots[b] = 0
+                b += 1
+                # leading zero deltas of the run-ending block extend the
+                # run (tzcnt of the delta bytes; all-zero -> 0 via &0x7)
+                tz = 0
+                for v in deltas:
+                    if v == 0:
+                        tz += 1
+                    else:
+                        break
+                additional = tz & 0x7
+                length = (ncb << 3) + additional
+                pieces += _varint15(length)
+                p = p - BLOCK_SZ + additional
+                if length > 0:
+                    pieces += x[p : p + 2].tobytes()
+                    p += 2
+                ncb = 0
+                continue
+            m = 8 if nbits >= 7 else nbits
+            acc = 0
+            for i, v in enumerate(deltas):
+                acc |= (v & ((1 << m) - 1)) << (i * m)
+            pieces += acc.to_bytes(8, "little")[: 8 if nbits >= 7 else nbits]
+            b += 1
+        hdr = 0
+        for i, s in enumerate(slots):
+            hdr |= s << (3 * i)
+        body += hdr.to_bytes(3, "little")
+        body += pieces
+        ngroups += 1
+    body += x[p:].tobytes()
+    meta = (int(ngroups).to_bytes(4, "little")
+            + int(n - ngroups * GROUP_SZ).to_bytes(4, "little")
+            ) if write_size else b""
+    return bytes(meta + body)
+
+
+def decompress_delta_rle2_8b(buf: bytes) -> np.ndarray:
+    ngroups = int.from_bytes(buf[0:4], "little")
+    extra = int.from_bytes(buf[4:8], "little")
+    n = ngroups * GROUP_SZ + extra
+    out = np.empty(n, dtype=np.uint8)
+    cpy = min(1, n)
+    if cpy:
+        out[0] = buf[8]
+    pos = 8 + cpy
+    prev_val = int(out[0]) if cpy else 0
+    o = cpy
+    for _g in range(ngroups):
+        hdr = int.from_bytes(buf[pos : pos + 3], "little")
+        pos += 3
+        for b in range(GROUP_SZ_BLOCKS):
+            nbits = (hdr >> (3 * b)) & 0x7
+            if nbits == 0:
+                low = buf[pos]
+                high = buf[pos + 1] if (low & 0x80) else 0
+                length = (low & 0x7F) | (high << 7)
+                out[o : o + length] = prev_val
+                o += length
+                pos += 1 + (1 if high > 0 else 0)
+                if length:
+                    out[o : o + 2] = np.frombuffer(
+                        buf, np.uint8, count=2, offset=pos)
+                    pos += 2
+                    o += 2
+                    prev_val = int(out[o - 1])
                 continue
             m = 8 if nbits == 7 else nbits
             nbytes = 8 if nbits == 7 else nbits

@@ -11,9 +11,11 @@ that capability through the framework's production codecs:
                  RLE) — strictly dominates the legacy delta_rle variants
 - "delta"/"doubledelta"/"tripledelta": whole-buffer nth-order transforms
 - "dyndelta"   : per-block delta vs double-delta choice (u16)
-- "delta_simple8b"/"delta8b"/"delta_rle8b"/"doubledelta8b"/"dyndelta8b":
-                 the reference's legacy byte formats, byte-exact
-                 (golden/univariate8b.py)
+- all NINE reference legacy byte formats, byte-exact
+                 (golden/univariate8b.py): "delta_simple8b", "delta8b",
+                 "online8b", "delta_online8b", "delta2_online8b",
+                 "delta_rle8b", "delta_rle28b", "doubledelta8b",
+                 "dyndelta8b"
 - "sprintzpack": per-block bitpack without prediction (u16)
 """
 
@@ -37,7 +39,11 @@ def compress_univariate(x: np.ndarray, method: str = "sprintz",
 
         enc = {"delta8b": u8b.compress_delta_8b,
                "delta_simple8b": u8b.compress_delta_simple_8b,
+               "online8b": u8b.compress_online_8b,
+               "delta_online8b": u8b.compress_delta_online_8b,
+               "delta2_online8b": u8b.compress_delta2_online_8b,
                "delta_rle8b": u8b.compress_delta_rle_8b,
+               "delta_rle28b": u8b.compress_delta_rle2_8b,
                "doubledelta8b": u8b.compress_doubledelta_8b,
                "dyndelta8b": u8b.compress_dyndelta_8b}[method]
         return enc(x.astype(np.uint8))
@@ -63,7 +69,11 @@ def decompress_univariate(buf: bytes, method: str = "sprintz",
 
         dec = {"delta8b": u8b.decompress_delta_8b,
                "delta_simple8b": u8b.decompress_delta_simple_8b,
+               "online8b": u8b.decompress_online_8b,
+               "delta_online8b": u8b.decompress_delta_online_8b,
+               "delta2_online8b": u8b.decompress_delta2_online_8b,
                "delta_rle8b": u8b.decompress_delta_rle_8b,
+               "delta_rle28b": u8b.decompress_delta_rle2_8b,
                "doubledelta8b": u8b.decompress_doubledelta_8b,
                "dyndelta8b": u8b.decompress_dyndelta_8b}[method]
         return dec(buf)

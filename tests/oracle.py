@@ -158,6 +158,18 @@ _UNIVARIATE_SYMBOLS = {
     "delta_simple8b": ("_Z23compress8b_delta_simplePhmPab", None),
     "delta_rle8b": ("_Z20compress8b_delta_rlePhmPab",
                     "_Z22decompress8b_delta_rlePaPh"),
+    "delta_rle28b": ("_Z21compress8b_delta_rle2PhmPab",
+                     "_Z23decompress8b_delta_rle2PaPh"),
+    # NOTE: the reference's own decompress8b_online is a documented
+    # speed-hack (wrong mask table, univariate_8b.cpp "XXX this masks
+    # array can't handle negative numbers") -> encode-only oracle
+    "online8b": ("_Z17compress8b_onlinePhmPab", None),
+    "delta_online8b": ("_Z23compress8b_delta_onlinePhmPab",
+                       "_Z25decompress8b_delta_onlinePaPh"),
+    "delta2_online8b": ("_Z24compress8b_delta2_onlinePhmPab",
+                        "_Z26decompress8b_delta2_onlinePaPh"),
+    "dyndelta8b": ("_Z19compress8b_dyndeltaPhmPab",
+                   "_Z21decompress8b_dyndeltaPaPh"),
 }
 
 

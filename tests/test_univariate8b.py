@@ -101,3 +101,57 @@ def test_delta_simple_rle_byte_exact(rng):
                 u8b.decompress_delta_rle_8b(mine), x)
             np.testing.assert_array_equal(
                 oracle.ref_univariate_decompress("delta_rle8b", mine, n), x)
+
+
+ALL_NINE = ["delta_simple8b", "delta8b", "online8b", "delta_online8b",
+            "delta2_online8b", "delta_rle8b", "delta_rle28b",
+            "doubledelta8b", "dyndelta8b"]
+
+
+@pytest.mark.skipif(not oracle.available(), reason="oracle not built")
+def test_all_nine_byte_exact(rng):
+    """Every legacy univariate codec's encoder matches the reference
+    byte-for-byte (decoders: self round-trip always; reference
+    cross-decode where the reference's decoder isn't its documented
+    speed-hack)."""
+    from sprintz_tpu.golden import univariate8b as u8b
+
+    enc_dec = {
+        "delta_simple8b": (u8b.compress_delta_simple_8b,
+                           u8b.decompress_delta_simple_8b),
+        "delta8b": (u8b.compress_delta_8b, u8b.decompress_delta_8b),
+        "online8b": (u8b.compress_online_8b, u8b.decompress_online_8b),
+        "delta_online8b": (u8b.compress_delta_online_8b,
+                           u8b.decompress_delta_online_8b),
+        "delta2_online8b": (u8b.compress_delta2_online_8b,
+                            u8b.decompress_delta2_online_8b),
+        "delta_rle8b": (u8b.compress_delta_rle_8b,
+                        u8b.decompress_delta_rle_8b),
+        "delta_rle28b": (u8b.compress_delta_rle2_8b,
+                         u8b.decompress_delta_rle2_8b),
+        "doubledelta8b": (u8b.compress_doubledelta_8b,
+                          u8b.decompress_doubledelta_8b),
+        "dyndelta8b": (u8b.compress_dyndelta_8b,
+                       u8b.decompress_dyndelta_8b),
+    }
+    for name in ALL_NINE:
+        enc, dec = enc_dec[name]
+        for n in [0, 1, 16, 64, 65, 1000, 4099]:
+            for kind in ("rand", "small", "zeros", "sparse"):
+                x = make_stream(rng, n, 1, kind)
+                mine = enc(x)
+                assert mine == oracle.ref_univariate_compress(name, x), \
+                    f"{name}/{n}/{kind}"
+                np.testing.assert_array_equal(dec(mine), x,
+                                              err_msg=f"{name}/{n}/{kind}")
+                if oracle._UNIVARIATE_SYMBOLS[name][1]:
+                    np.testing.assert_array_equal(
+                        oracle.ref_univariate_decompress(name, mine, n), x)
+
+
+def test_all_nine_facade(rng):
+    x = make_stream(rng, 2000, 1, "small")
+    for m in ALL_NINE:
+        buf = compress_univariate(x, method=m)
+        np.testing.assert_array_equal(
+            decompress_univariate(buf, method=m), x, err_msg=m)
