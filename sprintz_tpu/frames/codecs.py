@@ -297,3 +297,64 @@ class CodecSearch(Codec):
         for c, h in zip(reversed(chain), reversed(header["headers"])):
             v = c.decode_col(v, col, h)
         return v
+
+
+class FrameCodec(Codec):
+    """A chain link that reads/writes across columns (frame-level).
+
+    The drivers call ``encode_frame``/``decode_frame`` with the full
+    column dict instead of per-column hooks."""
+
+    def encode_col(self, vals, col):  # pragma: no cover - not used
+        raise NotImplementedError("frame-level codec")
+
+    def decode_col(self, vals, col, header):  # pragma: no cover
+        raise NotImplementedError("frame-level codec")
+
+    @abc.abstractmethod
+    def encode_frame(self, cols: dict):
+        ...
+
+    @abc.abstractmethod
+    def decode_frame(self, cols: dict, header):
+        ...
+
+
+class ColSumPredictor(FrameCodec):
+    """Predict one column as the (weighted) sum of others; store the
+    residual (codec.py:538-601). Weights: None (plain sum) or one
+    scalar/FIR-tap array per summed column."""
+
+    def __init__(self, cols_to_sum, col_to_predict, weights=None):
+        self.cols_to_sum = ([cols_to_sum] if isinstance(cols_to_sum, str)
+                            else list(cols_to_sum))
+        self.col_to_predict = col_to_predict
+        self.weights = weights
+
+    def name(self):
+        return f"colsum({'+'.join(map(str, self.cols_to_sum))}" \
+               f"->{self.col_to_predict})"
+
+    def _predict(self, cols):
+        pred = None
+        for i, c in enumerate(self.cols_to_sum):
+            v = np.asarray(cols[c], dtype=np.float64)
+            if self.weights is not None:
+                w = np.atleast_1d(np.asarray(self.weights[i], np.float64))
+                if w.size > 1:  # FIR taps, 'same' correlation
+                    v = np.correlate(v, w, mode="same")
+                else:
+                    v = v * w[0]
+            pred = v if pred is None else pred + v
+        return pred
+
+    def encode_frame(self, cols):
+        tgt = cols[self.col_to_predict]
+        pred = self._predict(cols).astype(tgt.dtype)
+        cols[self.col_to_predict] = tgt - pred  # wraps for ints: lossless
+        return None
+
+    def decode_frame(self, cols, header):
+        tgt = cols[self.col_to_predict]
+        pred = self._predict(cols).astype(tgt.dtype)
+        cols[self.col_to_predict] = tgt + pred

@@ -35,6 +35,10 @@ def encode(dfs, codecs):
         cols = {c: df[c].to_numpy() for c in df.columns}
         frame_headers = []
         for codec in codecs:
+            if hasattr(codec, "encode_frame"):
+                frame_headers.append((codec.name(),
+                                      codec.encode_frame(cols)))
+                continue
             applicable = [c for c in cols
                           if codec.cols_filter(cols[c].dtype)]
             col_headers = {}
@@ -54,6 +58,9 @@ def decode(encoded, headers, codecs):
         for codec, (cname, col_headers) in zip(
                 reversed(codecs), reversed(headers[name])):
             assert codec.name() == cname, f"chain mismatch: {codec.name()} != {cname}"
+            if hasattr(codec, "decode_frame"):
+                codec.decode_frame(cols, col_headers)
+                continue
             for c, h in col_headers.items():
                 cols[c] = codec.decode_col(cols[c], c, h)
         out[name] = cols

@@ -106,3 +106,40 @@ def test_storage_backends(tmp_path, rng):
     p = save_df(df, tmp_path / "smart", fmt="smart")
     back = load_df(p)
     assert set(back.columns) == set(df.columns)
+
+
+def test_colsum_predictor_roundtrip():
+    import pandas as pd
+
+    from sprintz_tpu.frames.codecs import ColSumPredictor, Delta
+    from sprintz_tpu.frames.dfsqueeze import encode, decode
+
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 100, 500).astype(np.int64)
+    b = rng.integers(0, 100, 500).astype(np.int64)
+    total = a + b + rng.integers(-2, 3, 500)  # near-sum column
+    df = pd.DataFrame({"a": a, "b": b, "total": total})
+    chain = [ColSumPredictor(["a", "b"], "total"), Delta()]
+    enc, headers = encode({"x": df}, chain)
+    # residual column must be tiny vs the raw column
+    assert np.abs(enc["x"]["total"]).max() <= 4 * 500
+    dec = decode(enc, headers, chain)
+    for c in df.columns:
+        np.testing.assert_array_equal(dec["x"][c], df[c].to_numpy())
+
+
+def test_colsum_predictor_weights():
+    import pandas as pd
+
+    from sprintz_tpu.frames.codecs import ColSumPredictor
+    from sprintz_tpu.frames.dfsqueeze import encode, decode
+
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, 50, 300).astype(np.int32)
+    tgt = (3 * a + rng.integers(0, 2, 300)).astype(np.int32)
+    df = pd.DataFrame({"a": a, "t": tgt})
+    chain = [ColSumPredictor(["a"], "t", weights=[3.0])]
+    enc, headers = encode({"x": df}, chain)
+    assert np.abs(enc["x"]["t"]).max() <= 1
+    dec = decode(enc, headers, chain)
+    np.testing.assert_array_equal(dec["x"]["t"], tgt)
