@@ -227,9 +227,55 @@ def main():
             f"{codec2}/u{8 * elem_sz2} kernel: "
             f"{raw2.nbytes / t2 / 1e9:.2f} GB/s")
 
+    def extra_xff_parallel(budget_s):
+        """Sidecar chunk-parallel FIRE decode (checkpoint.py): the serial
+        scan shortens from nb to nb/C blocks with C chunks in lanes."""
+        if time.perf_counter() - t_start > budget_s:
+            return
+        from sprintz_tpu import checkpoint
+
+        raw2 = (np.cumsum(rng.integers(-6, 7, (nrows, ndims)), axis=0)
+                % 256).astype(np.uint8)
+        s2, sc = checkpoint.compress_with_sidecar(
+            raw2.reshape(-1), ndims, codec="xff", every_groups=64)
+        ng2, _, _ = read_metadata_rle(s2)
+        idx2 = decoder.walk_headers(s2, ng2, ndims, 1, lowdim=False)
+        d2 = decoder.gather_payloads(s2, idx2, ndims, 1, False)
+        ndata2 = idx2.widths.shape[0]
+        if idx2.total_rows != ndata2 * 8:
+            return
+        C = len(sc.byte_offsets)
+        cob = (np.searchsorted(sc.byte_offsets, idx2.payload_offsets,
+                               side="right") - 1)
+        counts = np.bincount(cob, minlength=C)
+        nb_pad = next_bucket(int(counts.max()))
+        dense_c = np.zeros((C, nb_pad) + d2.shape[1:], np.uint8)
+        widths_c = np.zeros((C, nb_pad, ndims), np.int32)
+        order = np.argsort(cob, kind="stable")
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        for c in range(C):
+            seg = order[starts[c]: starts[c + 1]]
+            dense_c[c, : len(seg)] = d2[seg]
+            widths_c[c, : len(seg)] = idx2.widths[seg]
+        states = np.zeros((C, 3, ndims), np.int32)
+        states[:, : sc.states.shape[1]] = sc.states
+        lr = jnp.zeros((C, nb_pad), jnp.int32)
+
+        def kern(d, w, s):
+            return decoder._decode_pass_chunks.__wrapped__(
+                d, w, lr, s, "xff", 1, False, nb_pad * 8, True)
+
+        t2 = devloop_time(
+            kern, (jnp.asarray(dense_c), jnp.asarray(widths_c),
+                   jnp.asarray(states)), 32)
+        extra_notes.append(
+            f"xff-par/u8 kernel ({C} chunks): "
+            f"{raw2.nbytes / t2 / 1e9:.2f} GB/s")
+
     if os.environ.get("SPRINTZ_BENCH_EXTRAS", "1") != "0":
         extra_config("delta", 2, budget_s=300)
         extra_config("xff", 1, budget_s=420)
+        extra_xff_parallel(budget_s=540)
     fire_note = "".join(n + " | " for n in extra_notes)
     if os.environ.get("SPRINTZ_BENCH_FIRE"):
         # context: FIRE decode throughput when streams batch in lanes

@@ -163,6 +163,73 @@ def _group_index(buf: bytes, ngroups: int, ndims: int, elem_sz: int,
     return _GroupIndex(offs, rows, blocks, row)
 
 
+def decompress_parallel(buf: bytes, sidecar: Sidecar) -> np.ndarray:
+    """Chunk-parallel decode of a sidecar-equipped stream.
+
+    Splits the stream at the sidecar's checkpoints and decodes every
+    chunk concurrently in one vmapped device pass
+    (decoder._decode_pass_chunks) — each chunk enters at its recorded
+    forecaster state, so FIRE's serial recurrence only spans one chunk
+    instead of the whole stream. Byte format unchanged (the sidecar is
+    optional metadata); output equals ``decoder.decompress``.
+    Returns flat elements.
+    """
+    import jax.numpy as jnp
+
+    from . import decoder
+    from .utils.shapes import next_bucket
+
+    ngroups, remaining, ndims = read_metadata_rle(buf)
+    assert ndims == sidecar.ndims
+    elem_sz = sidecar.elem_sz
+    udt = np.uint8 if elem_sz == 1 else np.uint16
+    if ngroups == 0:
+        return decoder.decompress(buf, sidecar.codec, elem_sz)
+    lowdim = ndims <= LOWDIM_MAX_NDIMS[elem_sz]
+    idx = decoder.walk_headers(buf, ngroups, ndims, elem_sz, lowdim=lowdim)
+    ndata = idx.widths.shape[0]
+    if ndata == 0 or len(sidecar.byte_offsets) <= 1:
+        return decoder.decompress(buf, sidecar.codec, elem_sz)
+    dense = decoder.gather_payloads(buf, idx, ndims, elem_sz, lowdim)
+
+    C = len(sidecar.byte_offsets)
+    row_start = sidecar.row_offsets.astype(np.int64)
+    chunk_rows = np.diff(np.append(row_start, idx.total_rows))
+    chunk_of_block = (np.searchsorted(
+        sidecar.byte_offsets, idx.payload_offsets, side="right") - 1)
+    counts = np.bincount(chunk_of_block, minlength=C)
+    nb_pad = next_bucket(max(int(counts.max()), 1))
+    contiguous = idx.total_rows == ndata * BLOCK_SZ
+    rows_pad = (nb_pad * BLOCK_SZ if contiguous
+                else next_bucket(max(int(chunk_rows.max()), BLOCK_SZ)))
+
+    dense_c = np.zeros((C, nb_pad) + dense.shape[1:], np.uint8)
+    widths_c = np.zeros((C, nb_pad, ndims), np.int32)
+    local_rows = np.full((C, nb_pad), rows_pad + BLOCK_SZ, np.int32)
+    order = np.argsort(chunk_of_block, kind="stable")
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    for c in range(C):
+        seg = order[starts[c] : starts[c + 1]]
+        n = len(seg)
+        dense_c[c, :n] = dense[seg]
+        widths_c[c, :n] = idx.widths[seg]
+        local_rows[c, :n] = idx.out_rows[seg] - row_start[c]
+
+    states = np.zeros((C, 3, ndims), np.int32)
+    states[:, : sidecar.states.shape[1]] = sidecar.states
+
+    vals = decoder._decode_pass_chunks(
+        jnp.asarray(dense_c), jnp.asarray(widths_c),
+        jnp.asarray(local_rows), jnp.asarray(states),
+        sidecar.codec, elem_sz, lowdim, rows_pad, contiguous)
+    vals = np.asarray(vals)
+    body = np.concatenate(
+        [vals[c, : chunk_rows[c]] for c in range(C)]).astype(udt)
+    tail = np.frombuffer(buf, dtype=udt, count=remaining,
+                         offset=idx.tail_offset)
+    return np.concatenate([body.reshape(-1), tail])
+
+
 def decode_range(buf: bytes, sidecar: Sidecar, start_row: int, nrows: int
                  ) -> np.ndarray:
     """Decode rows [start_row, start_row + nrows) without replaying the

@@ -250,6 +250,57 @@ if _have_jax:
 if _have_jax:
 
     @functools.partial(jax.jit, static_argnames=(
+        "codec", "elem_sz", "lowdim", "rows_pad", "contiguous"))
+    def _decode_pass_chunks(dense, widths, local_rows, states, codec,
+                            elem_sz, lowdim, rows_pad, contiguous):
+        """Sidecar chunk-parallel decode (checkpoint.decompress_parallel).
+
+        The FIRE recurrence is serial over blocks (SURVEY §5), so a single
+        stream decodes on D lanes only. With checkpoint states every chunk
+        boundary the chunks become independent: vmap runs the scan C
+        chunks wide (C*D lanes) and the serial length drops from nb to
+        nb/C — the TPU realization of ``jump()`` (online.hpp:126-132).
+
+        dense: (C, nb, 8, MAXB) u8 payload bytes; widths: (C, nb, D);
+        local_rows: (C, nb) block start rows within their chunk (>=
+        rows_pad for padding blocks); states: (C, 3, D) forecaster state
+        entering each chunk. Returns (C, rows_pad, D) narrow values.
+        ``contiguous``: run-free stream — block rows are the chunk
+        timeline, skip the scatter.
+        """
+        eb = 8 * elem_sz
+
+        def one(dense_c, widths_c, rows_c, state_c):
+            d = dense_c.astype(jnp.int32)
+            w = widths_c.astype(jnp.int32)
+            if lowdim:
+                errs = unpack_dims_lowdim(d, w)
+            else:
+                errs = unpack_rows_rowmajor(d, w)
+            nb, _, ndims = errs.shape
+            if contiguous:
+                full = errs.reshape(nb * BLOCK_SZ, ndims)[:rows_pad]
+            else:
+                full = jnp.zeros((rows_pad, ndims), jnp.int32)
+                ridx = (rows_c[:, None]
+                        + jnp.arange(BLOCK_SZ)[None, :]).reshape(-1)
+                full = full.at[ridx].set(
+                    errs.reshape(nb * BLOCK_SZ, ndims), mode="drop")
+            if codec == "delta":
+                vals = delta_decode(full, eb)
+                vals = (vals + state_c[0][None, :]) & ((1 << eb) - 1)
+            else:
+                vals = fire_decode(
+                    full, eb, truncate_coeffs=not lowdim,
+                    init_state=(state_c[0], state_c[1], state_c[2]))
+            return vals.astype(jnp.uint8 if elem_sz == 1 else jnp.uint16)
+
+        return jax.vmap(one)(dense, widths, local_rows, states)
+
+
+if _have_jax:
+
+    @functools.partial(jax.jit, static_argnames=(
         "codec", "elem_sz", "lowdim", "total_rows"))
     def _decode_pass_grouped(dense_g, widths_u, out_rows_g, codec, elem_sz,
                              lowdim, total_rows):

@@ -3,7 +3,12 @@
 import numpy as np
 import pytest
 
-from sprintz_tpu.checkpoint import Sidecar, compress_with_sidecar, decode_range
+from sprintz_tpu.checkpoint import (
+    Sidecar,
+    compress_with_sidecar,
+    decode_range,
+    decompress_parallel,
+)
 
 from conftest import make_stream
 
@@ -30,6 +35,44 @@ def test_stream_is_byte_exact_with_sidecar(rng):
     # building a sidecar must not change the stream bytes...
     # (ndims=1 dispatches to lowdim in the plain API; force rowmajor both)
     assert stream == encoder.compress(x, 1, codec="delta")
+
+
+@pytest.mark.parametrize("codec", ["delta", "xff"])
+@pytest.mark.parametrize("elem_sz", [1, 2])
+@pytest.mark.parametrize("kind", ["rand", "sparse", "zeros"])
+def test_decompress_parallel_one_pass(rng, codec, elem_sz, kind):
+    """decompress_parallel == serial decompress == input, for rowmajor
+    streams with and without RLE runs (vmapped _decode_pass_chunks)."""
+    from sprintz_tpu import decoder
+
+    D = 24
+    nrows = 3000
+    flat = make_stream(rng, nrows * D, elem_sz, kind)
+    stream, sc = compress_with_sidecar(flat, D, codec=codec,
+                                       every_groups=16)
+    got = decompress_parallel(stream, sc)
+    np.testing.assert_array_equal(got, flat)
+    np.testing.assert_array_equal(
+        got, decoder.decompress(stream, codec, elem_sz))
+
+
+@pytest.mark.parametrize("codec", ["delta", "xff"])
+@pytest.mark.parametrize("ndims,elem_sz", [(3, 1), (2, 2), (1, 1)])
+def test_decompress_parallel_lowdim(rng, codec, ndims, elem_sz):
+    flat = make_stream(rng, 2048 * ndims, elem_sz, "sparse")
+    stream, sc = compress_with_sidecar(flat, ndims, codec=codec,
+                                       every_groups=8)
+    np.testing.assert_array_equal(decompress_parallel(stream, sc), flat)
+
+
+def test_decompress_parallel_tiny_and_single_chunk(rng):
+    # verbatim stream (len < 128) and a single-checkpoint stream both
+    # take the serial fallback
+    for n in (64, 400):
+        flat = make_stream(rng, n, 1, "rand")
+        stream, sc = compress_with_sidecar(flat, 1, codec="delta",
+                                           every_groups=1024)
+        np.testing.assert_array_equal(decompress_parallel(stream, sc), flat)
 
 
 def test_chunk_parallel_decode(rng):
