@@ -54,6 +54,8 @@ def hierarchical_cumsum(x: jnp.ndarray, chunk: int = 512,
     exact integer arithmetic at full MXU speed. The planes recombine in
     int32.
     """
+    from ..ops.pack import MXU_IMPL
+
     n = x.shape[0]
     if n <= chunk:
         return jnp.cumsum(x, axis=0, dtype=jnp.int32)
@@ -64,6 +66,28 @@ def hierarchical_cumsum(x: jnp.ndarray, chunk: int = 512,
     nchunks, _, f = c.shape
     counts = (jnp.arange(chunk, dtype=jnp.int32) + 1)[None, :, None]
     two_planes = value_bits > 8
+    if MXU_IMPL == "s8":
+        # v5e-native s8*s8->s32 matmul: sign-extended deltas (u8) and the
+        # lo/hi planes of u16 deltas fit int8 (lo biased by -128); partial
+        # sums stay <= chunk * 128 < 2^16, exact in s32.
+        if two_planes:
+            planes = jnp.concatenate(
+                [(c & 0xFF) - 128, c >> 8], axis=-1).astype(jnp.int8)
+        else:
+            planes = c.astype(jnp.int8)
+        tri = jnp.tril(jnp.ones((chunk, chunk), jnp.int8))
+        inner = jax.lax.dot_general(
+            tri, planes, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)  # (chunk, nchunks, planes*F)
+        inner = jnp.moveaxis(inner, 0, 1)
+        if two_planes:
+            inner = (inner[..., :f] + (counts << 7)
+                     + (inner[..., f:] << 8))
+        totals = inner[:, -1]
+        offsets = jnp.cumsum(totals, axis=0, dtype=jnp.int32) - totals
+        out = inner + offsets[:, None]
+        return (out.reshape(-1, *trailing)[:n] if trailing
+                else out.reshape(-1)[:n])
     if two_planes:
         # x = lo + 256*hi with lo in [0,256), hi+128 in [0,256)
         planes = jnp.concatenate(

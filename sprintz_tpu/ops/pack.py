@@ -36,6 +36,13 @@ _CHUNK = 8192  # blocks per one-hot chunk
 # XLA matmul path on v5e so far — flip the default when they win
 _USE_PALLAS = os.environ.get("SPRINTZ_USE_PALLAS") == "1"
 
+# MXU number format for the exact-matmul kernels: "bf16" (one matmul,
+# weights in {1,256,65536}) or "s8" (v5e native s8*s8->s32 — half the
+# weight bytes at twice the MXU rate; bytes are biased into [-128,127]
+# and debiased after, still exact integer arithmetic). NOTE: flag is read
+# at TRACE time — call jax.clear_caches() after changing it in-process.
+MXU_IMPL = os.environ.get("SPRINTZ_MXU_IMPL", "bf16")
+
 
 def _chunked(fn, n_leading: int, *arrays):
     """Apply fn over chunks of the leading axis and concatenate."""
@@ -144,7 +151,34 @@ def unpack_rows_rowmajor(dense: jnp.ndarray, widths: jnp.ndarray
         word = word >> (off & 7)[:, None, :]
         return word & ((1 << widths_c)[:, None, :] - 1)
 
-    return _chunked(chunk, nb, dense, widths)
+    def chunk_s8(dense_c, widths_c):
+        # One {0,1} int8 one-hot selects each dim's FIRST byte; bytes 2-3
+        # come from byte-shifted copies of the payload sharing the same
+        # weights (one weight read, three row groups in one matmul).
+        # Bias: biased bytes d-128 and sum_j onehot[j,d] == 1 per dim,
+        # so the correction is the constant +128.
+        off = jnp.cumsum(widths_c, axis=1) - widths_c
+        q = off >> 3  # (c, D)
+        onehot = (q[:, None, :] == j[None, :, None]).astype(jnp.int8)
+        d8 = (dense_c - 128).astype(jnp.int8)  # (c, 8, MAXB)
+        pad1 = jnp.full_like(d8[:, :, :1], -128)
+        d3 = jnp.concatenate([
+            d8,
+            jnp.concatenate([d8[:, :, 1:], pad1], axis=2),
+            jnp.concatenate([d8[:, :, 2:], pad1, pad1], axis=2),
+        ], axis=1)  # (c, 24, MAXB)
+        b = jax.lax.dot_general(
+            d3, onehot,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32) + 128  # (c, 24, D)
+        word = (b[:, :BLOCK_SZ]
+                + (b[:, BLOCK_SZ: 2 * BLOCK_SZ] << 8)
+                + (b[:, 2 * BLOCK_SZ:] << 16))
+        word = word >> (off & 7)[:, None, :]
+        return word & ((1 << widths_c)[:, None, :] - 1)
+
+    return _chunked(chunk_s8 if MXU_IMPL == "s8" else chunk,
+                    nb, dense, widths)
 
 
 def unpack_dims_lowdim(dense: jnp.ndarray, widths: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,72 @@
+"""MXU number-format variants (ops/pack.MXU_IMPL): bf16 vs s8.
+
+The exact-matmul kernels admit two formats: bf16 inputs with power-of-two
+weights (proved exact by magnitude bounds) and v5e-native s8*s8->s32
+(exact by integer arithmetic). Both must produce identical results; the
+flag is read at trace time, so each parametrization clears jit caches.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+import sprintz_tpu.ops.pack as pack
+from sprintz_tpu.models import forecasters as fc
+from sprintz_tpu.ops.bitmath import block_widths_rowmajor
+
+
+@pytest.fixture(params=["bf16", "s8"])
+def mxu_impl(request):
+    prev = pack.MXU_IMPL
+    pack.MXU_IMPL = request.param
+    jax.clear_caches()
+    yield request.param
+    pack.MXU_IMPL = prev
+    jax.clear_caches()
+
+
+@pytest.mark.parametrize("ndims,elem_sz", [(64, 1), (40, 2), (5, 1)])
+def test_unpack_pack_roundtrip(rng, mxu_impl, ndims, elem_sz):
+    import jax.numpy as jnp
+
+    eb = 8 * elem_sz
+    nb = 512
+    errs = jnp.asarray(rng.integers(0, 1 << (eb - 2), (nb, 8, ndims)),
+                       jnp.int32)
+    orm = jnp.bitwise_or.reduce(errs, axis=1)
+    widths = jnp.asarray(block_widths_rowmajor(orm, elem_sz), jnp.int32)
+    errs = errs & ((1 << widths)[:, None, :] - 1)
+    dense = pack.pack_rows_rowmajor(errs, widths, elem_sz)
+    got = pack.unpack_rows_rowmajor(dense.astype(jnp.int32), widths)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(errs))
+
+
+@pytest.mark.parametrize("value_bits", [8, 16])
+def test_hierarchical_cumsum_exact(rng, mxu_impl, value_bits):
+    import jax.numpy as jnp
+
+    lim = 1 << (value_bits - 1)
+    x = jnp.asarray(rng.integers(-lim, lim, (4000, 33)), jnp.int32)
+    got = np.asarray(fc.hierarchical_cumsum(x, value_bits=value_bits))
+    want = np.cumsum(np.asarray(x, np.int64), axis=0).astype(np.int32)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_s8_full_stream_roundtrip(rng):
+    """End-to-end compress/decompress under the s8 MXU format."""
+    from sprintz_tpu import decoder, encoder
+
+    prev = pack.MXU_IMPL
+    pack.MXU_IMPL = "s8"
+    jax.clear_caches()
+    try:
+        for codec in ("delta", "xff"):
+            flat = np.where(rng.random(3000 * 24) < 0.1,
+                            rng.integers(0, 60000, 3000 * 24), 0
+                            ).astype(np.uint16)
+            stream = encoder.compress(flat, 24, codec=codec)
+            out = decoder.decompress(stream, codec, 2)
+            np.testing.assert_array_equal(out, flat)
+    finally:
+        pack.MXU_IMPL = prev
+        jax.clear_caches()
