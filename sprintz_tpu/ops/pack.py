@@ -93,7 +93,34 @@ def pack_rows_rowmajor(errs_zz: jnp.ndarray, widths: jnp.ndarray,
             out = out + _matmul_exact(byte_k, onehot).astype(jnp.float32)
         return out.astype(jnp.uint8)
 
-    return _chunked(chunk, nb, errs_zz, widths)
+    def chunk_s8(errs_c, widths_c):
+        # Single {0,1} int8 one-hot scatters each dim's FIRST byte; the
+        # 2nd/3rd bytes ride the same weights as extra row groups, their
+        # results shifted along the byte axis afterwards. Bias: several
+        # dims may land on one byte (small widths share bytes), so the
+        # debias is 128 * colsum(onehot) per output byte, per k.
+        off = jnp.cumsum(widths_c, axis=1) - widths_c
+        c = errs_c << (off & 7)[:, None, :]
+        q = off >> 3
+        onehot = (q[:, :, None] == m[None, None, :]).astype(jnp.int8)
+        colsum = onehot.astype(jnp.int32).sum(axis=1)  # (c, MAXB)
+        b3 = jnp.concatenate(
+            [((c >> (8 * k)) & 0xFF) - 128 for k in range(3)],
+            axis=1).astype(jnp.int8)  # (c, 24, D)
+        p = jax.lax.dot_general(
+            b3, onehot,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)  # (c, 24, MAXB)
+        p = p + (128 * colsum)[:, None, :]
+        out = (p[:, :BLOCK_SZ]
+               + jnp.roll(p[:, BLOCK_SZ: 2 * BLOCK_SZ], 1, axis=2)
+                 .at[:, :, 0].set(0)
+               + jnp.roll(p[:, 2 * BLOCK_SZ:], 2, axis=2)
+                 .at[:, :, :2].set(0))
+        return out.astype(jnp.uint8)
+
+    return _chunked(chunk_s8 if MXU_IMPL == "s8" else chunk,
+                    nb, errs_zz, widths)
 
 
 def pack_dims_lowdim(errs_zz: jnp.ndarray, widths: jnp.ndarray,

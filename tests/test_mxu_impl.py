@@ -52,6 +52,28 @@ def test_hierarchical_cumsum_exact(rng, mxu_impl, value_bits):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("codec", ["delta", "xff"])
+@pytest.mark.parametrize("elem_sz", [1, 2])
+def test_stream_bytes_identical_across_impls(rng, codec, elem_sz):
+    """The MXU format is an implementation detail: compressed bytes must
+    be bit-identical under bf16 and s8."""
+    from sprintz_tpu import encoder
+
+    flat = np.cumsum(rng.integers(-9, 10, 2000 * 33)).astype(
+        np.uint8 if elem_sz == 1 else np.uint16)
+    streams = {}
+    prev = pack.MXU_IMPL
+    try:
+        for impl in ("bf16", "s8"):
+            pack.MXU_IMPL = impl
+            jax.clear_caches()
+            streams[impl] = encoder.compress(flat, 33, codec=codec)
+    finally:
+        pack.MXU_IMPL = prev
+        jax.clear_caches()
+    assert streams["bf16"] == streams["s8"]
+
+
 def test_s8_full_stream_roundtrip(rng):
     """End-to-end compress/decompress under the s8 MXU format."""
     from sprintz_tpu import decoder, encoder
