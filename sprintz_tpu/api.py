@@ -93,8 +93,32 @@ class SprintzCodec:
             return _golden_lowdim.compress_lowdim_rle(flat, ndims, codec=self.codec)
         return _golden_rowmajor.compress_rowmajor_rle(flat, ndims, codec=self.codec)
 
-    def decompress(self, buf: bytes) -> np.ndarray:
+    def compress_seekable(self, data: np.ndarray, ndims: int | None = None,
+                          every_groups: int = 64):
+        """Compress + build a checkpoint sidecar (checkpoint.py).
+
+        Returns (stream, sidecar). The stream is byte-identical to
+        ``compress``; the sidecar enables ``decode_range`` seeks and
+        chunk-parallel decode (pass it back to ``decompress``)."""
+        flat, inferred = self._as_flat(data)
+        ndims = inferred if ndims is None else ndims
+        from .checkpoint import compress_with_sidecar
+
+        stream, sc = compress_with_sidecar(
+            flat, ndims, codec=self.codec, every_groups=every_groups)
+        if self.entropy == "huffman":
+            from .entropy import huff_compress
+
+            stream = huff_compress(stream)
+        return stream, sc
+
+    def decompress(self, buf: bytes, sidecar=None) -> np.ndarray:
         """Decompress a stream; returns the flat row-major element array.
+
+        ``sidecar``: optional checkpoint sidecar from
+        ``compress_seekable`` — decodes chunk-parallel (every chunk
+        enters at its recorded forecaster state), the fast path for
+        long FIRE streams on the jax backend.
 
         Raises ``CorruptStreamError`` when the buffer is truncated or its
         metadata is inconsistent (the format itself carries no checksums,
@@ -103,6 +127,10 @@ class SprintzCodec:
             from .entropy import huff_decompress
 
             buf = huff_decompress(buf).tobytes()
+        if sidecar is not None and self.backend in ("auto", "jax"):
+            from .checkpoint import decompress_parallel
+
+            return decompress_parallel(buf, sidecar)
         if len(buf) < 8:
             raise CorruptStreamError(
                 f"stream shorter than its 8-byte metadata ({len(buf)} bytes)")

@@ -16,6 +16,7 @@ TPU-native design notes:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +35,15 @@ def delta_encode(rows: jnp.ndarray, elem_bits: int) -> jnp.ndarray:
     return zigzag_encode(deltas, elem_bits)
 
 
-def hierarchical_cumsum(x: jnp.ndarray, chunk: int = 512,
+# MXU format for the triangular prefix matmul, independent of the
+# pack/unpack format (ops/pack.MXU_IMPL): device A/B (STATUS.md, session
+# 2) measured s8 1.5x faster for the two-plane u16 prefix and at parity
+# for u8, while s8 LOSES 2.4x for the unpack dot — so the defaults
+# differ per site. Chunk 256 beat 128/512/1024 on v5e for both formats.
+PREFIX_IMPL = os.environ.get("SPRINTZ_PREFIX_IMPL", "s8")
+
+
+def hierarchical_cumsum(x: jnp.ndarray, chunk: int = 256,
                         value_bits: int = 16) -> jnp.ndarray:
     """Two-level inclusive prefix sum along axis 0 of (N, ...) int arrays.
 
@@ -54,8 +63,6 @@ def hierarchical_cumsum(x: jnp.ndarray, chunk: int = 512,
     exact integer arithmetic at full MXU speed. The planes recombine in
     int32.
     """
-    from ..ops.pack import MXU_IMPL
-
     n = x.shape[0]
     if n <= chunk:
         return jnp.cumsum(x, axis=0, dtype=jnp.int32)
@@ -66,7 +73,7 @@ def hierarchical_cumsum(x: jnp.ndarray, chunk: int = 512,
     nchunks, _, f = c.shape
     counts = (jnp.arange(chunk, dtype=jnp.int32) + 1)[None, :, None]
     two_planes = value_bits > 8
-    if MXU_IMPL == "s8":
+    if PREFIX_IMPL == "s8":
         # v5e-native s8*s8->s32 matmul: sign-extended deltas (u8) and the
         # lo/hi planes of u16 deltas fit int8 (lo biased by -128); partial
         # sums stay <= chunk * 128 < 2^16, exact in s32.

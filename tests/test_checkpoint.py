@@ -75,6 +75,22 @@ def test_decompress_parallel_tiny_and_single_chunk(rng):
         np.testing.assert_array_equal(decompress_parallel(stream, sc), flat)
 
 
+def test_api_seekable_roundtrip(rng):
+    from sprintz_tpu.api import SprintzCodec
+
+    cd = SprintzCodec(codec="xff", elem_sz=2)
+    data = make_stream(rng, 4000 * 12, 2, "sparse").reshape(4000, 12)
+    stream, sc = cd.compress_seekable(data)
+    assert stream == cd.compress(data)
+    np.testing.assert_array_equal(
+        cd.decompress(stream, sidecar=sc), data.reshape(-1))
+    # with the entropy stage on top
+    ch = SprintzCodec(codec="xff", elem_sz=2, entropy="huffman")
+    hstream, hsc = ch.compress_seekable(data)
+    np.testing.assert_array_equal(
+        ch.decompress(hstream, sidecar=hsc), data.reshape(-1))
+
+
 def test_chunk_parallel_decode(rng):
     # several workers each decode their own range; concatenation == full
     codec = "xff"

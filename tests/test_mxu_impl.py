@@ -41,13 +41,25 @@ def test_unpack_pack_roundtrip(rng, mxu_impl, ndims, elem_sz):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(errs))
 
 
+@pytest.fixture(params=["bf16", "s8"])
+def prefix_impl(request):
+    prev = fc.PREFIX_IMPL
+    fc.PREFIX_IMPL = request.param
+    jax.clear_caches()
+    yield request.param
+    fc.PREFIX_IMPL = prev
+    jax.clear_caches()
+
+
 @pytest.mark.parametrize("value_bits", [8, 16])
-def test_hierarchical_cumsum_exact(rng, mxu_impl, value_bits):
+@pytest.mark.parametrize("chunk", [128, 256, 512])
+def test_hierarchical_cumsum_exact(rng, prefix_impl, value_bits, chunk):
     import jax.numpy as jnp
 
     lim = 1 << (value_bits - 1)
     x = jnp.asarray(rng.integers(-lim, lim, (4000, 33)), jnp.int32)
-    got = np.asarray(fc.hierarchical_cumsum(x, value_bits=value_bits))
+    got = np.asarray(
+        fc.hierarchical_cumsum(x, chunk=chunk, value_bits=value_bits))
     want = np.cumsum(np.asarray(x, np.int64), axis=0).astype(np.int32)
     np.testing.assert_array_equal(got, want)
 
