@@ -175,6 +175,42 @@ int64_t sprintz_walk_headers(
 // the CPU; in-repo entropy.cpp is an empty stub). Table construction
 // stays in Python (O(alphabet) work); these are the per-byte hot loops.
 
+// Gather packed payload rows into the dense per-block decode buffer
+// (decoder.gather_payloads hot path — numpy's per-element fancy
+// indexing measured ~0.1 GB/s; this is a bounds-checked memcpy per
+// row, threaded over units). Returns 0, or -1 on out-of-range units
+// (truncated/corrupt stream).
+int64_t sprintz_gather_units(
+    const uint8_t* buf, int64_t buf_len,
+    const int64_t* src, const int64_t* dst, const int64_t* len,
+    int64_t n_units, uint8_t* out, int64_t out_len) {
+  for (int64_t i = 0; i < n_units; ++i) {
+    if (len[i] < 0 || src[i] < 0 || src[i] + len[i] > buf_len ||
+        dst[i] < 0 || dst[i] + len[i] > out_len)
+      return -1;
+  }
+  int nthreads = (int)std::min<int64_t>(
+      std::max<int64_t>(n_units / 65536, 1),
+      std::max(1u, std::thread::hardware_concurrency()));
+  if (nthreads <= 1) {
+    for (int64_t i = 0; i < n_units; ++i)
+      memcpy(out + dst[i], buf + src[i], (size_t)len[i]);
+    return 0;
+  }
+  std::vector<std::thread> ts;
+  int64_t per = (n_units + nthreads - 1) / nthreads;
+  for (int t = 0; t < nthreads; ++t) {
+    int64_t lo = t * per, hi = std::min(n_units, lo + per);
+    if (lo >= hi) break;
+    ts.emplace_back([=]() {
+      for (int64_t i = lo; i < hi; ++i)
+        memcpy(out + dst[i], buf + src[i], (size_t)len[i]);
+    });
+  }
+  for (auto& th : ts) th.join();
+  return 0;
+}
+
 // Byte histogram (np.bincount round-trips through int64; this is the
 // table-build hot loop). 4 sub-counters break the store-to-load
 // dependency chain on repeated symbols.

@@ -410,11 +410,15 @@ def gather_payloads(buf: bytes, idx: StreamIndex, ndims: int, elem_sz: int,
     unit_len, unit_src, unit_dst = unit_len[nz], unit_src[nz], unit_dst[nz]
     tot = int(unit_len.sum())
     if tot:
-        starts = np.cumsum(unit_len) - unit_len
-        q = np.arange(tot) - np.repeat(starts, unit_len)
-        flat = dense.reshape(-1)
-        flat[np.repeat(unit_dst, unit_len) + q] = buf_np[
-            np.repeat(unit_src, unit_len) + q]
+        from .native_host import gather_units_native
+
+        if not gather_units_native(buf, unit_src, unit_dst, unit_len,
+                                   dense):
+            starts = np.cumsum(unit_len) - unit_len
+            q = np.arange(tot) - np.repeat(starts, unit_len)
+            flat = dense.reshape(-1)
+            flat[np.repeat(unit_dst, unit_len) + q] = buf_np[
+                np.repeat(unit_src, unit_len) + q]
     return dense
 
 

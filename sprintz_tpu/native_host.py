@@ -124,6 +124,31 @@ def walk_headers_native(buf: bytes, start: int, ngroups: int, ndims: int,
             out_rows[:ndata].copy(), int(meta[1]), int(meta[2]))
 
 
+def gather_units_native(buf: bytes, unit_src: np.ndarray,
+                        unit_dst: np.ndarray, unit_len: np.ndarray,
+                        out: np.ndarray) -> bool:
+    """Copy unit_len[i] bytes buf[unit_src[i]:] -> out.flat[unit_dst[i]:]
+    for every unit (bounds-checked memcpys, threaded). Returns False if
+    the native lib is unavailable or a unit is out of range."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    src = np.ascontiguousarray(unit_src, np.int64)
+    dst = np.ascontiguousarray(unit_dst, np.int64)
+    ln = np.ascontiguousarray(unit_len, np.int64)
+    data = np.frombuffer(buf, dtype=np.uint8)
+    fn = lib.sprintz_gather_units
+    fn.restype = ctypes.c_int64
+    rc = fn(data.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(len(buf)),
+            src.ctypes.data_as(ctypes.c_void_p),
+            dst.ctypes.data_as(ctypes.c_void_p),
+            ln.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int64(len(ln)),
+            out.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int64(out.nbytes))
+    return rc == 0
+
+
 def histogram_native(data: np.ndarray):
     """Native byte histogram; returns (256,) int64 counts or None."""
     lib = get_lib()

@@ -54,3 +54,36 @@ def test_walk_headers_native_matches_py(rng):
                 np.testing.assert_array_equal(nat.out_rows, py.out_rows)
                 assert nat.total_rows == py.total_rows
                 assert nat.tail_offset == py.tail_offset
+
+
+def test_gather_units_native_matches_py(rng, monkeypatch):
+    """Native threaded-memcpy gather == numpy fancy-index gather, for
+    rowmajor and lowdim streams with runs."""
+    from sprintz_tpu import decoder, encoder
+
+    if native_host.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    for ndims, elem_sz in ((24, 1), (3, 1), (9, 2)):
+        flat = make_stream(rng, 6000 * ndims, elem_sz, "sparse")
+        stream = encoder.compress(flat, ndims, codec="delta")
+        ngroups, _, _ = read_metadata_rle(stream)
+        lowdim = ndims <= (4 if elem_sz == 1 else 2)
+        idx = walk_headers(stream, ngroups, ndims, elem_sz, lowdim=lowdim)
+        d_nat = decoder.gather_payloads(stream, idx, ndims, elem_sz, lowdim)
+        monkeypatch.setattr(native_host, "gather_units_native",
+                            lambda *a, **k: False)
+        d_py = decoder.gather_payloads(stream, idx, ndims, elem_sz, lowdim)
+        monkeypatch.undo()
+        np.testing.assert_array_equal(d_nat, d_py)
+
+
+def test_gather_units_native_rejects_out_of_range():
+    out = np.zeros(16, np.uint8)
+    if native_host.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    ok = native_host.gather_units_native(
+        b"abcd", np.array([2]), np.array([0]), np.array([8]), out)
+    assert not ok  # src overruns the buffer
+    ok = native_host.gather_units_native(
+        b"abcdefgh", np.array([0]), np.array([12]), np.array([8]), out)
+    assert not ok  # dst overruns the output
