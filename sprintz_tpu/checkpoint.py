@@ -195,6 +195,13 @@ def decompress_parallel(buf: bytes, sidecar: Sidecar) -> np.ndarray:
     C = len(sidecar.byte_offsets)
     row_start = sidecar.row_offsets.astype(np.int64)
     chunk_rows = np.diff(np.append(row_start, idx.total_rows))
+    if (np.any(chunk_rows < 0) or row_start[0] != 0
+            or np.any(np.diff(sidecar.byte_offsets) <= 0)):
+        from .errors import CorruptStreamError
+
+        raise CorruptStreamError(
+            "sidecar inconsistent with stream: checkpoint offsets must be "
+            "strictly increasing and start at row 0")
     chunk_of_block = (np.searchsorted(
         sidecar.byte_offsets, idx.payload_offsets, side="right") - 1)
     counts = np.bincount(chunk_of_block, minlength=C)

@@ -104,3 +104,15 @@ def test_chunk_parallel_decode(rng):
              for s in range(0, nrows, chunk)]
     got = np.concatenate([p[:chunk] for p in parts])
     np.testing.assert_array_equal(got[:nrows], rows)
+
+
+def test_decompress_parallel_rejects_bad_sidecar(rng):
+    from sprintz_tpu.errors import CorruptStreamError
+
+    flat = make_stream(rng, 4000 * 8, 1, "sparse")
+    stream, sc = compress_with_sidecar(flat, 8, codec="delta",
+                                       every_groups=16)
+    bad = Sidecar.from_bytes(sc.to_bytes())
+    bad.row_offsets = bad.row_offsets[::-1].copy()
+    with pytest.raises(CorruptStreamError):
+        decompress_parallel(stream, bad)
