@@ -47,6 +47,14 @@ def main():
     assert np.array_equal(rows, data[15_000:15_100])
     print(f"seek decode @15000 ok (sidecar {len(sidecar.to_bytes())} bytes)")
 
+    # --- chunk-parallel decode: every sidecar chunk decodes concurrently
+    from sprintz_tpu.checkpoint import decompress_parallel
+
+    flat = decompress_parallel(stream, sidecar)
+    assert np.array_equal(flat, data.reshape(-1))
+    print(f"chunk-parallel decode ok "
+          f"({len(sidecar.byte_offsets)} chunks in one device pass)")
+
     # --- univariate methods
     y = (np.cumsum(np.random.default_rng(0).integers(-3, 4, 8000))
          & 0xFFFF).astype(np.uint16)
