@@ -42,6 +42,11 @@ def delta_encode(rows: jnp.ndarray, elem_bits: int) -> jnp.ndarray:
 # differ per site. Chunk 256 beat 128/512/1024 on v5e for both formats.
 PREFIX_IMPL = os.environ.get("SPRINTZ_PREFIX_IMPL", "s8")
 
+# lax.scan unroll for the FIRE block scan: amortizes per-step scan
+# overhead across blocks (the carry chain is the only sequential
+# dependency). Read at trace time.
+SCAN_UNROLL = int(os.environ.get("SPRINTZ_SCAN_UNROLL", "8"))
+
 
 def hierarchical_cumsum(x: jnp.ndarray, chunk: int = 256,
                         value_bits: int = 16) -> jnp.ndarray:
@@ -200,11 +205,12 @@ def _fire_scan(vals_or_errs: jnp.ndarray, elem_bits: int,
             return new_carry, (out, jnp.stack(carry))
 
         final, (out, states) = jax.lax.scan(
-            step_with_state, carry0, vals_or_errs, unroll=8)
+            step_with_state, carry0, vals_or_errs, unroll=SCAN_UNROLL)
         return (out, states, final) if return_final else (out, states)
     # unroll amortizes per-step scan overhead over 8 blocks (the carry
     # chain is the only sequential dependency)
-    final, out = jax.lax.scan(step, carry0, vals_or_errs, unroll=8)
+    final, out = jax.lax.scan(step, carry0, vals_or_errs,
+                              unroll=SCAN_UNROLL)
     return (out, final) if return_final else out
 
 
