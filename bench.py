@@ -272,10 +272,26 @@ def main():
             f"xff-par/u8 kernel ({C} chunks): "
             f"{raw2.nbytes / t2 / 1e9:.2f} GB/s")
 
+    def extra_encode_kernel(budget_s):
+        """Device encode pass (forecast + widths + MXU pack) — the
+        kernel-side counterpart of the reference's >200 MB/s compression
+        bar (communicate/results.tex:168); host plan/assembly are
+        measured separately (tools/profile_encode.py)."""
+        if time.perf_counter() - t_start > budget_s:
+            return
+        rows_j = jnp.asarray(raw.astype(np.int32))
+
+        def kern(r):
+            return encoder._encode_pass.__wrapped__(r, "delta", 1, False)
+
+        t2 = devloop_time(kern, (rows_j,), 32)
+        extra_notes.append(f"encode kernel: {nbytes / t2 / 1e9:.2f} GB/s")
+
     if os.environ.get("SPRINTZ_BENCH_EXTRAS", "1") != "0":
         extra_config("delta", 2, budget_s=300)
         extra_config("xff", 1, budget_s=420)
         extra_xff_parallel(budget_s=540)
+        extra_encode_kernel(budget_s=660)
     fire_note = "".join(n + " | " for n in extra_notes)
     if os.environ.get("SPRINTZ_BENCH_FIRE"):
         # context: FIRE decode throughput when streams batch in lanes

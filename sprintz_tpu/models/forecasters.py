@@ -44,8 +44,21 @@ PREFIX_IMPL = os.environ.get("SPRINTZ_PREFIX_IMPL", "s8")
 
 # lax.scan unroll for the FIRE block scan: amortizes per-step scan
 # overhead across blocks (the carry chain is the only sequential
-# dependency). Read at trace time.
-SCAN_UNROLL = int(os.environ.get("SPRINTZ_SCAN_UNROLL", "8"))
+# dependency). Read at trace time. Device sweep (STATUS.md, session 3):
+# unroll 8/16/32 -> 1.59/1.91/2.18 GB/s on the serial xff/u8 kernel,
+# so 32 on TPU — but 32 sends XLA:CPU's LLVM into a multi-minute
+# compile (measured >15 min vs 7 s whole-program at 8), so the CPU
+# default stays 8. Resolved lazily at first trace, env-overridable.
+SCAN_UNROLL = int(os.environ.get("SPRINTZ_SCAN_UNROLL", "0")) or None
+
+
+def _scan_unroll() -> int:
+    """Backend-dependent FIRE scan unroll (see SCAN_UNROLL comment)."""
+    global SCAN_UNROLL
+    if SCAN_UNROLL is None:
+        import jax
+        SCAN_UNROLL = 8 if jax.default_backend() == "cpu" else 32
+    return SCAN_UNROLL
 
 
 def hierarchical_cumsum(x: jnp.ndarray, chunk: int = 256,
@@ -205,12 +218,12 @@ def _fire_scan(vals_or_errs: jnp.ndarray, elem_bits: int,
             return new_carry, (out, jnp.stack(carry))
 
         final, (out, states) = jax.lax.scan(
-            step_with_state, carry0, vals_or_errs, unroll=SCAN_UNROLL)
+            step_with_state, carry0, vals_or_errs, unroll=_scan_unroll())
         return (out, states, final) if return_final else (out, states)
     # unroll amortizes per-step scan overhead over 8 blocks (the carry
     # chain is the only sequential dependency)
     final, out = jax.lax.scan(step, carry0, vals_or_errs,
-                              unroll=SCAN_UNROLL)
+                              unroll=_scan_unroll())
     return (out, final) if return_final else out
 
 
