@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import numpy as np
 
@@ -598,7 +599,14 @@ def decompress(
                 buf, dtype=udt, count=remaining_len, offset=idx.tail_offset)
             return np.concatenate([body, tail])
         rows_pad = next_bucket(idx.total_rows)
-        grouping = None if lowdim else group_by_signature(idx)
+        # Width-signature grouping measured 2.7x SLOWER than the plain
+        # scatter pass on v5e even in its best case (8 unique signatures,
+        # session-4 A/B in STATUS.md): padding each signature's block
+        # list to a power-of-two count inflated device work 3x, dwarfing
+        # the shared-weight savings. Opt-in for re-evaluation.
+        use_grouped = os.environ.get("SPRINTZ_GROUPED_DECODE") == "1"
+        grouping = (group_by_signature(idx)
+                    if use_grouped and not lowdim else None)
         if grouping is not None:
             uniq_pad, perm = grouping
             u_pad, c_pad = perm.shape

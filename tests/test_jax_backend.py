@@ -75,3 +75,18 @@ def test_decompress_batch(rng):
         np.testing.assert_array_equal(got, x)
         np.testing.assert_array_equal(
             got, decoder.decompress(buf, codec="xff", elem_sz=1))
+
+
+def test_grouped_decode_optin_matches(rng, monkeypatch):
+    """SPRINTZ_GROUPED_DECODE=1 routes runs-containing rowmajor streams
+    through the width-signature-grouped pass; output must match the
+    default scatter pass bit-for-bit (the device A/B in STATUS.md made
+    scatter the default)."""
+    D = 16
+    x = make_stream(rng, 3000 * D, 1, "sparse")  # sparse -> RLE runs
+    buf = encoder.compress(x, D, codec="delta")
+    base = decoder.decompress(buf, codec="delta", elem_sz=1)
+    monkeypatch.setenv("SPRINTZ_GROUPED_DECODE", "1")
+    grouped = decoder.decompress(buf, codec="delta", elem_sz=1)
+    np.testing.assert_array_equal(grouped, base)
+    np.testing.assert_array_equal(base, x)
