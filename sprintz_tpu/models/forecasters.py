@@ -42,6 +42,13 @@ def delta_encode(rows: jnp.ndarray, elem_bits: int) -> jnp.ndarray:
 # differ per site. Chunk 256 beat 128/512/1024 on v5e for both formats.
 PREFIX_IMPL = os.environ.get("SPRINTZ_PREFIX_IMPL", "s8")
 
+# Fold the chunk axis into the triangular matmul's minor dimension when
+# the natural minor dim (planes*F) is lane-starved: lowdim streams have
+# F = 2..4 dims, so the batched form keeps at most 8 of 128 MXU lanes
+# busy (session-4 device sweep: d4 decode 1.63 GB/s). "auto" folds when
+# planes*F < 64; "1"/"0" force.
+PREFIX_FOLD = os.environ.get("SPRINTZ_PREFIX_FOLD", "auto")
+
 # lax.scan unroll for the FIRE block scan: amortizes per-step scan
 # overhead across blocks (the carry chain is the only sequential
 # dependency). Read at trace time. Device sweep (STATUS.md, session 3):
@@ -59,6 +66,13 @@ def _scan_unroll() -> int:
         import jax
         SCAN_UNROLL = 8 if jax.default_backend() == "cpu" else 32
     return SCAN_UNROLL
+
+
+def _prefix_fold(pf: int) -> bool:
+    """Whether to fold chunks into the triangular matmul's minor dim."""
+    if PREFIX_FOLD == "auto":
+        return pf < 64
+    return PREFIX_FOLD == "1"
 
 
 def hierarchical_cumsum(x: jnp.ndarray, chunk: int = 256,
@@ -101,9 +115,16 @@ def hierarchical_cumsum(x: jnp.ndarray, chunk: int = 256,
         else:
             planes = c.astype(jnp.int8)
         tri = jnp.tril(jnp.ones((chunk, chunk), jnp.int8))
-        inner = jax.lax.dot_general(
-            tri, planes, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32)  # (chunk, nchunks, planes*F)
+        if _prefix_fold(planes.shape[-1]):
+            pl = jnp.moveaxis(planes, 0, 1).reshape(chunk, -1)
+            inner = jax.lax.dot_general(
+                tri, pl, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32
+            ).reshape(chunk, nchunks, planes.shape[-1])
+        else:
+            inner = jax.lax.dot_general(
+                tri, planes, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)  # (chunk, nchunks, P*F)
         inner = jnp.moveaxis(inner, 0, 1)
         if two_planes:
             inner = (inner[..., :f] + (counts << 7)
@@ -120,9 +141,16 @@ def hierarchical_cumsum(x: jnp.ndarray, chunk: int = 256,
     else:
         planes = (c + 128).astype(jnp.bfloat16)  # x+128 in [0,256)
     tri = jnp.tril(jnp.ones((chunk, chunk), jnp.bfloat16))
-    inner = jax.lax.dot_general(
-        tri, planes, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (chunk, nchunks, planes*F)
+    if _prefix_fold(planes.shape[-1]):
+        pl = jnp.moveaxis(planes, 0, 1).reshape(chunk, -1)
+        inner = jax.lax.dot_general(
+            tri, pl, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32
+        ).reshape(chunk, nchunks, planes.shape[-1])
+    else:
+        inner = jax.lax.dot_general(
+            tri, planes, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (chunk, nchunks, P*F)
     inner = jnp.moveaxis(inner, 0, 1).astype(jnp.int32)
     if two_planes:
         inner = (inner[..., :f]

@@ -43,6 +43,13 @@ _USE_PALLAS = os.environ.get("SPRINTZ_USE_PALLAS") == "1"
 # at TRACE time — call jax.clear_caches() after changing it in-process.
 MXU_IMPL = os.environ.get("SPRINTZ_MXU_IMPL", "bf16")
 
+# Lowdim (column-major) kernel formulation. "select" (default) is a pure
+# VPU int32 select-accumulate laid out with the BLOCK axis minor — with
+# D <= 4 dims the old per-(block,dim) batched matmuls kept at most 4 of
+# 128 lanes busy (session-4 device sweep: d4 decode 1.63 GB/s);
+# "einsum"/"matmul" keeps the MXU formulation for A/B.
+LOWDIM_IMPL = os.environ.get("SPRINTZ_LOWDIM_IMPL", "select")
+
 
 def _chunked(fn, n_leading: int, *arrays):
     """Apply fn over chunks of the leading axis and concatenate."""
@@ -149,7 +156,25 @@ def pack_dims_lowdim(errs_zz: jnp.ndarray, widths: jnp.ndarray,
             out = out + _matmul_exact(byte_k, onehot).astype(jnp.float32)
         return out.astype(jnp.uint8).reshape(cb, ndims, eb)
 
-    return _chunked(chunk, nb, errs_zz, widths)
+    def chunk_sel(errs_c, widths_c):
+        # VPU select-accumulate, block axis minor (lanes = blocks): each
+        # output byte m of dim d collects the shifted sample bytes whose
+        # landing byte q is m, m-1 or m-2. Bits of different samples
+        # never collide within a byte, so the adds equal the ORs.
+        w_t = widths_c.T  # (D, c)
+        bitoff = jnp.arange(BLOCK_SZ)[:, None, None] * w_t[None]  # (8,D,c)
+        c_t = errs_c.transpose(1, 2, 0) << (bitoff & 7)  # (8, D, c)
+        q = bitoff >> 3
+        rel = m[None, :, None, None] - q[:, None]  # (8, EB, D, c)
+        b = c_t[:, None]  # (8, 1, D, c)
+        out = jnp.sum(jnp.where(rel == 0, b & 0xFF, 0)
+                      + jnp.where(rel == 1, (b >> 8) & 0xFF, 0)
+                      + jnp.where(rel == 2, (b >> 16) & 0xFF, 0),
+                      axis=0)  # (EB, D, c)
+        return out.transpose(2, 1, 0).astype(jnp.uint8)  # (c, D, EB)
+
+    return _chunked(chunk_sel if LOWDIM_IMPL == "select" else chunk,
+                    nb, errs_zz, widths)
 
 
 def unpack_rows_rowmajor(dense: jnp.ndarray, widths: jnp.ndarray
@@ -233,4 +258,23 @@ def unpack_dims_lowdim(dense: jnp.ndarray, widths: jnp.ndarray) -> jnp.ndarray:
         word = word >> (bitoff & 7)
         return word & ((1 << widths_c)[:, None, :] - 1)
 
-    return _chunked(chunk, nb, dense, widths)
+    def chunk_sel(dense_c, widths_c):
+        # VPU select-accumulate, block axis minor (lanes = blocks): each
+        # sample's 3-byte window gathers as masked sums over the EB
+        # payload bytes of its dim.
+        w_t = widths_c.T  # (D, c)
+        bitoff = jnp.arange(BLOCK_SZ)[:, None, None] * w_t[None]  # (8,D,c)
+        q = bitoff >> 3
+        d_t = dense_c.transpose(2, 1, 0)  # (EB, D, c)
+        rel = j[None, :, None, None] - q[:, None, :, :]  # (8, EB, D, c)
+        b = d_t[None]  # (1, EB, D, c)
+        word = jnp.sum(jnp.where(rel == 0, b, 0)
+                       + jnp.where(rel == 1, b << 8, 0)
+                       + jnp.where(rel == 2, b << 16, 0),
+                       axis=1)  # (8, D, c)
+        word = word >> (bitoff & 7)
+        word = word & ((1 << w_t)[None] - 1)
+        return word.transpose(2, 0, 1)  # (c, 8, D)
+
+    return _chunked(chunk_sel if LOWDIM_IMPL == "select" else chunk,
+                    nb, dense, widths)

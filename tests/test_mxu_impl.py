@@ -104,3 +104,58 @@ def test_s8_full_stream_roundtrip(rng):
     finally:
         pack.MXU_IMPL = prev
         jax.clear_caches()
+
+
+@pytest.fixture(params=["select", "einsum"])
+def lowdim_impl(request):
+    prev = pack.LOWDIM_IMPL
+    pack.LOWDIM_IMPL = request.param
+    jax.clear_caches()
+    yield request.param
+    pack.LOWDIM_IMPL = prev
+    jax.clear_caches()
+
+
+@pytest.mark.parametrize("ndims,elem_sz", [(1, 1), (4, 1), (2, 2)])
+def test_lowdim_impl_roundtrip(rng, lowdim_impl, ndims, elem_sz):
+    """Both lowdim formulations (VPU select-accumulate with blocks in
+    lanes vs per-(block,dim) matmuls) must produce identical payload
+    bytes and invert exactly."""
+    import jax.numpy as jnp
+
+    from sprintz_tpu.ops.bitmath import block_widths_lowdim
+
+    eb = 8 * elem_sz
+    nb = 512
+    errs = jnp.asarray(rng.integers(0, 1 << (eb - 2), (nb, 8, ndims)),
+                       jnp.int32)
+    orm = jnp.bitwise_or.reduce(errs, axis=1)
+    widths = jnp.asarray(block_widths_lowdim(orm, elem_sz), jnp.int32)
+    errs = errs & ((1 << widths)[:, None, :] - 1)
+    dense = pack.pack_dims_lowdim(errs, widths, elem_sz)
+    got = pack.unpack_dims_lowdim(dense.astype(jnp.int32), widths)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(errs))
+
+
+@pytest.mark.parametrize("fold", ["0", "1"])
+@pytest.mark.parametrize("value_bits,ncols", [(8, 1), (8, 4), (16, 2),
+                                              (16, 64)])
+def test_prefix_fold_exact(rng, prefix_impl, fold, value_bits, ncols):
+    """Folding chunks into the triangular matmul's minor dim (lowdim
+    lane-utilization fix) is a pure layout change: results must equal
+    the batched form and the int64 oracle for both MXU formats."""
+    import jax.numpy as jnp
+
+    prev = fc.PREFIX_FOLD
+    fc.PREFIX_FOLD = fold
+    jax.clear_caches()
+    try:
+        lim = 1 << (value_bits - 1)
+        x = rng.integers(-lim, lim, (4000, ncols))
+        got = np.asarray(fc.hierarchical_cumsum(
+            jnp.asarray(x, jnp.int32), value_bits=value_bits))
+        ref = np.cumsum(x.astype(np.int64), axis=0).astype(np.int32)
+        np.testing.assert_array_equal(got, ref)
+    finally:
+        fc.PREFIX_FOLD = prev
+        jax.clear_caches()
