@@ -287,11 +287,38 @@ def main():
         t2 = devloop_time(kern, (rows_j,), 32)
         extra_notes.append(f"encode kernel: {nbytes / t2 / 1e9:.2f} GB/s")
 
+    def extra_lowdim(budget_s):
+        """Lowdim (column-major) decode kernel, delta/u8 d4 — the layout
+        the reference dispatches for ndims <= 4 (sprintz.cpp:61-74)."""
+        if time.perf_counter() - t_start > budget_s:
+            return
+        nr = 1 << 20
+        raw2 = (np.cumsum(rng.integers(-6, 7, (nr, 4)), axis=0)
+                % 256).astype(np.uint8)
+        s2 = encoder.compress(raw2.reshape(-1), 4, codec="delta")
+        ng2, _, _ = read_metadata_rle(s2)
+        idx2 = decoder.walk_headers(s2, ng2, 4, 1, lowdim=True)
+        d2 = decoder.gather_payloads(s2, idx2, 4, 1, True)
+        if idx2.total_rows != idx2.widths.shape[0] * 8:
+            return
+        nd2 = next_bucket(d2.shape[0])
+        dj = jnp.asarray(pad_rows(d2, nd2))
+        wj = jnp.asarray(pad_rows(idx2.widths, nd2))
+
+        def kern(d, w):
+            return decoder._decode_pass_contiguous.__wrapped__(
+                d, w, "delta", 1, True)
+
+        t2 = devloop_time(kern, (dj, wj), 32)
+        extra_notes.append(
+            f"delta/u8 lowdim d4 kernel: {raw2.nbytes / t2 / 1e9:.2f} GB/s")
+
     if os.environ.get("SPRINTZ_BENCH_EXTRAS", "1") != "0":
         extra_config("delta", 2, budget_s=300)
         extra_config("xff", 1, budget_s=420)
         extra_xff_parallel(budget_s=540)
         extra_encode_kernel(budget_s=660)
+        extra_lowdim(budget_s=780)
     fire_note = "".join(n + " | " for n in extra_notes)
     if os.environ.get("SPRINTZ_BENCH_FIRE"):
         # context: FIRE decode throughput when streams batch in lanes

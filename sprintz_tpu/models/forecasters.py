@@ -45,8 +45,11 @@ PREFIX_IMPL = os.environ.get("SPRINTZ_PREFIX_IMPL", "s8")
 # Fold the chunk axis into the triangular matmul's minor dimension when
 # the natural minor dim (planes*F) is lane-starved: lowdim streams have
 # F = 2..4 dims, so the batched form keeps at most 8 of 128 MXU lanes
-# busy (session-4 device sweep: d4 decode 1.63 GB/s). "auto" folds when
-# planes*F < 64; "1"/"0" force.
+# busy. Built for session 5's device A/B, which measured fold=1 at
+# parity-to-slightly-SLOWER than fold=0 at every config (d4 u8, d2 u16,
+# d64 rowmajor) — the scatter/gather moveaxis around the folded matmul
+# costs what the extra lanes save — so "auto" now never folds and the
+# flag remains for A/B ("1" forces on, "0" off).
 PREFIX_FOLD = os.environ.get("SPRINTZ_PREFIX_FOLD", "auto")
 
 # lax.scan unroll for the FIRE block scan: amortizes per-step scan
@@ -71,7 +74,7 @@ def _scan_unroll() -> int:
 def _prefix_fold(pf: int) -> bool:
     """Whether to fold chunks into the triangular matmul's minor dim."""
     if PREFIX_FOLD == "auto":
-        return pf < 64
+        return False  # session-5 device A/B: folding never won
     return PREFIX_FOLD == "1"
 
 

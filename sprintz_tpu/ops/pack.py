@@ -43,12 +43,24 @@ _USE_PALLAS = os.environ.get("SPRINTZ_USE_PALLAS") == "1"
 # at TRACE time — call jax.clear_caches() after changing it in-process.
 MXU_IMPL = os.environ.get("SPRINTZ_MXU_IMPL", "bf16")
 
-# Lowdim (column-major) kernel formulation. "select" (default) is a pure
-# VPU int32 select-accumulate laid out with the BLOCK axis minor — with
-# D <= 4 dims the old per-(block,dim) batched matmuls kept at most 4 of
-# 128 lanes busy (session-4 device sweep: d4 decode 1.63 GB/s);
-# "einsum"/"matmul" keeps the MXU formulation for A/B.
-LOWDIM_IMPL = os.environ.get("SPRINTZ_LOWDIM_IMPL", "select")
+# Lowdim (column-major) kernel formulation. "select" is a pure VPU
+# int32 select-accumulate laid out with the BLOCK axis minor, built to
+# fix the lane-starved D <= 4 batched matmuls (session-4 device sweep:
+# d4 decode 1.63 GB/s) — but the session-5 device A/B measured it at
+# parity-to-slightly-slower than the MXU formulation (select 1.58-1.62
+# vs einsum 1.62-1.67 GB/s at d4; same ordering at u16 d2), so the
+# simpler "einsum" MXU path stays the default and select is the A/B
+# alternate. "wselect" is the width-stratified formulation: per legal
+# width the field layout is fully static (lowdim bit offsets are r*w,
+# no cross-dim cumsum), so pack/unpack become static shifts + one
+# select per width — ~6x fewer element-ops than either other path.
+LOWDIM_IMPL = os.environ.get("SPRINTZ_LOWDIM_IMPL", "einsum")
+
+
+def _lowdim_widths(eb: int):
+    """Non-zero legal lowdim widths: 1..eb minus eb-1 (bitmath
+    block_widths_lowdim promotes eb-1 to eb)."""
+    return [w for w in range(1, eb + 1) if w != eb - 1]
 
 
 def _chunked(fn, n_leading: int, *arrays):
@@ -173,6 +185,35 @@ def pack_dims_lowdim(errs_zz: jnp.ndarray, widths: jnp.ndarray,
                       axis=0)  # (EB, D, c)
         return out.transpose(2, 1, 0).astype(jnp.uint8)  # (c, D, EB)
 
+    def chunk_wpack(errs_c, widths_c):
+        # Width-stratified: a lowdim dim's field layout depends ONLY on
+        # its own width (bit offset of sample r is r*w — no cross-dim
+        # cumsum, unlike rowmajor), and only |{0..eb} \ {eb-1}| widths
+        # are legal. So emit each width's w-byte field with fully STATIC
+        # shifts/ORs and combine with one select per width — no one-hot
+        # matmul, no EB-wide select-accumulate.
+        w_t = widths_c.T  # (D, c)
+        e_t = errs_c.transpose(1, 2, 0)  # (8, D, c)
+        out = jnp.zeros((eb, ndims, errs_c.shape[0]), jnp.int32)
+        for w in _lowdim_widths(eb):
+            byts = []
+            for jbyte in range(w):
+                acc = None
+                for r in range(BLOCK_SZ):
+                    br = r * w
+                    if br + w <= 8 * jbyte or br >= 8 * (jbyte + 1):
+                        continue
+                    sh = br - 8 * jbyte
+                    term = e_t[r] << sh if sh >= 0 else e_t[r] >> -sh
+                    acc = term if acc is None else acc | term
+                byts.append(acc & 0xFF)
+            field = jnp.stack(
+                byts + [jnp.zeros_like(byts[0])] * (eb - w))  # (EB, D, c)
+            out = jnp.where(w_t[None] == w, field, out)
+        return out.transpose(2, 1, 0).astype(jnp.uint8)  # (c, D, EB)
+
+    if LOWDIM_IMPL == "wselect":
+        return _chunked(chunk_wpack, nb, errs_zz, widths)
     return _chunked(chunk_sel if LOWDIM_IMPL == "select" else chunk,
                     nb, errs_zz, widths)
 
@@ -276,5 +317,30 @@ def unpack_dims_lowdim(dense: jnp.ndarray, widths: jnp.ndarray) -> jnp.ndarray:
         word = word & ((1 << w_t)[None] - 1)
         return word.transpose(2, 0, 1)  # (c, 8, D)
 
+    def chunk_wsel(dense_c, widths_c):
+        # Width-stratified (see chunk_wpack): per legal width w the
+        # sample windows sit at STATIC byte offsets (bit r*w), so each
+        # extraction is 1-3 static byte-plane slices + shift + mask; one
+        # select per width combines them. The window never leaves the
+        # dim's w-byte field, so the static indices stay in range.
+        d_t = dense_c.transpose(1, 2, 0)  # (D, EB, c)
+        w_t = widths_c.T  # (D, c)
+        out = jnp.zeros((BLOCK_SZ, ndims, dense_c.shape[0]), jnp.int32)
+        for w in _lowdim_widths(eb):
+            rows = []
+            for r in range(BLOCK_SZ):
+                br = r * w
+                q, s = br >> 3, br & 7
+                word = d_t[:, q]
+                if s + w > 8:
+                    word = word | (d_t[:, q + 1] << 8)
+                if s + w > 16:
+                    word = word | (d_t[:, q + 2] << 16)
+                rows.append((word >> s) & ((1 << w) - 1))
+            out = jnp.where(w_t[None] == w, jnp.stack(rows), out)
+        return out.transpose(2, 0, 1)  # (c, 8, D)
+
+    if LOWDIM_IMPL == "wselect":
+        return _chunked(chunk_wsel, nb, dense, widths)
     return _chunked(chunk_sel if LOWDIM_IMPL == "select" else chunk,
                     nb, dense, widths)

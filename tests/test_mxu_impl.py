@@ -106,7 +106,7 @@ def test_s8_full_stream_roundtrip(rng):
         jax.clear_caches()
 
 
-@pytest.fixture(params=["select", "einsum"])
+@pytest.fixture(params=["select", "einsum", "wselect"])
 def lowdim_impl(request):
     prev = pack.LOWDIM_IMPL
     pack.LOWDIM_IMPL = request.param
@@ -127,14 +127,41 @@ def test_lowdim_impl_roundtrip(rng, lowdim_impl, ndims, elem_sz):
 
     eb = 8 * elem_sz
     nb = 512
-    errs = jnp.asarray(rng.integers(0, 1 << (eb - 2), (nb, 8, ndims)),
-                       jnp.int32)
+    # full-range values with per-block random width caps so every legal
+    # width (including the eb-1 -> eb promotion) is exercised
+    errs = jnp.asarray(rng.integers(0, 1 << eb, (nb, 8, ndims)), jnp.int32)
+    cap = jnp.asarray(rng.integers(0, eb + 1, (nb, 1, ndims)), jnp.int32)
+    errs = errs & ((1 << cap) - 1)
     orm = jnp.bitwise_or.reduce(errs, axis=1)
     widths = jnp.asarray(block_widths_lowdim(orm, elem_sz), jnp.int32)
     errs = errs & ((1 << widths)[:, None, :] - 1)
     dense = pack.pack_dims_lowdim(errs, widths, elem_sz)
     got = pack.unpack_dims_lowdim(dense.astype(jnp.int32), widths)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(errs))
+
+
+@pytest.mark.parametrize("ndims,elem_sz", [(4, 1), (2, 2)])
+def test_lowdim_stream_bytes_identical_across_impls(rng, ndims, elem_sz):
+    """The lowdim kernel formulation is an implementation detail: the
+    compressed stream must be bit-identical under all three, and each
+    must decode the others' output."""
+    from sprintz_tpu import decoder, encoder
+
+    flat = np.cumsum(rng.integers(-9, 10, 1500 * ndims)).astype(
+        np.uint8 if elem_sz == 1 else np.uint16)
+    streams = {}
+    prev = pack.LOWDIM_IMPL
+    try:
+        for impl in ("select", "einsum", "wselect"):
+            pack.LOWDIM_IMPL = impl
+            jax.clear_caches()
+            streams[impl] = encoder.compress(flat, ndims, elem_sz=elem_sz)
+        assert streams["select"] == streams["einsum"] == streams["wselect"]
+        out = decoder.decompress(streams["einsum"], "delta", elem_sz)
+        np.testing.assert_array_equal(out, flat)
+    finally:
+        pack.LOWDIM_IMPL = prev
+        jax.clear_caches()
 
 
 @pytest.mark.parametrize("fold", ["0", "1"])
