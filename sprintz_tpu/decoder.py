@@ -51,6 +51,48 @@ except Exception:  # pragma: no cover
 # bounded for arbitrarily long streams)
 CHUNK_OUT_BYTES = 64 << 20
 
+# Dim-major lowdim decode (delta, D*elem_sz in {1,2,4}): all device
+# tensors keep the sample axis minor, fixing the 30x VPU lane starvation
+# the session-6 isolation measured for the (N, D<=4)-minor layout. Read
+# at trace time; jax.clear_caches() after changing in-process.
+LOWDIM_DMAJOR = os.environ.get("SPRINTZ_LOWDIM_DMAJOR", "1") == "1"
+
+
+def _dmajor_ok(codec: str, ndims: int, elem_sz: int) -> bool:
+    return (LOWDIM_DMAJOR and codec == "delta"
+            and ndims * elem_sz in (1, 2, 4))
+
+
+if _have_jax:
+
+    def _decode_lowdim_dmajor(dense, widths, elem_sz, state=None):
+        """(nb, D, EB) u8 + (nb, D) widths -> ((N, D) narrow, (D,) last).
+
+        No small-minor tensors anywhere: the 8 sample slots stay
+        separate (D, nb) arrays, the block prefix decomposes into 8
+        static intra-block adds + ONE (D, nb) cross-block cumsum, and
+        the only interleave is the u32-word transpose inside
+        interleave_rows_dmajor.
+        """
+        from .ops.bitmath import zigzag_decode
+        from .ops.pack import interleave_rows_dmajor, unpack_dims_lowdim_dmajor
+
+        eb = 8 * elem_sz
+        slots = unpack_dims_lowdim_dmajor(dense, widths)  # 8 x (D, nb)
+        intra = []
+        run = None
+        for r in range(BLOCK_SZ):
+            d_r = zigzag_decode(slots[r], eb)
+            run = d_r if run is None else run + d_r
+            intra.append(run)
+        block_sums = intra[-1]
+        offs = jnp.cumsum(block_sums, axis=-1, dtype=jnp.int32) - block_sums
+        if state is not None:
+            offs = offs + state[:, None]
+        mask = (1 << eb) - 1
+        vals = [(x + offs) & mask for x in intra]
+        return interleave_rows_dmajor(vals, elem_sz), vals[-1][:, -1]
+
 
 @dataclasses.dataclass
 class StreamIndex:
@@ -196,6 +238,9 @@ if _have_jax:
         replaced by a reshape. Selected when the host walk shows
         total_rows == ndata * 8."""
         eb = 8 * elem_sz
+        if lowdim and _dmajor_ok(codec, widths.shape[-1], elem_sz):
+            vals, _ = _decode_lowdim_dmajor(dense, widths, elem_sz)
+            return vals
         dense = dense.astype(jnp.int32)
         widths = widths.astype(jnp.int32)
         if lowdim:
@@ -228,6 +273,10 @@ if _have_jax:
         from .models.forecasters import fire_decode_chunk
 
         eb = 8 * elem_sz
+        if lowdim and _dmajor_ok(codec, widths.shape[-1], elem_sz):
+            vals, last = _decode_lowdim_dmajor(dense, widths, elem_sz,
+                                               state=state[0])
+            return vals, state.at[0].set(last)
         dense = dense.astype(jnp.int32)
         widths = widths.astype(jnp.int32)
         if lowdim:

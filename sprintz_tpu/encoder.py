@@ -17,6 +17,7 @@ Output is byte-identical to the reference/golden encoders.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -44,7 +45,63 @@ except Exception:  # pragma: no cover
     _have_jax = False
 
 
+# Dim-major lowdim encode (delta, D*elem_sz in {1,2,4}): same lane-
+# starvation fix as decoder.LOWDIM_DMAJOR (session-6 isolation: the
+# (N, D<=4)-minor layout ran the encode pass at 0.65 GB/s for every
+# formulation). Read at trace time; jax.clear_caches() after changing.
+LOWDIM_DMAJOR = os.environ.get("SPRINTZ_LOWDIM_DMAJOR", "1") == "1"
+
+
 if _have_jax:
+
+    def _encode_lowdim_dmajor(rows: jnp.ndarray, elem_sz: int):
+        """Dim-major delta lowdim encode: rows (N, D) narrow uint.
+
+        Returns the _encode_pass contract (widths, hdr, dense,
+        width_sums) with widths/hdr as (nb, D) uint8. No small-minor
+        tensors: ONE (nb, 8) -> (8, nb) word transpose de-interleaves
+        time, sample slots stay separate (D, nb) arrays, and the
+        (nb, *) outputs ride u32-word bitcasts.
+        """
+        from .ops.bitmath import sign_extend, zigzag_encode
+        from .ops.pack import pack_fields_lowdim_dmajor, pack_rows_from_dmajor
+
+        eb = 8 * elem_sz
+        n, ndims = rows.shape
+        nb = n // BLOCK_SZ
+        row_b = ndims * elem_sz
+        mask = (1 << eb) - 1
+        if ndims == 1:
+            words = rows.reshape(nb, BLOCK_SZ)
+        elif row_b == 2:
+            words = jax.lax.bitcast_convert_type(
+                rows.astype(jnp.uint8), jnp.uint16).reshape(nb, BLOCK_SZ)
+        elif elem_sz == 2:
+            words = jax.lax.bitcast_convert_type(
+                rows.astype(jnp.uint16), jnp.uint32).reshape(nb, BLOCK_SZ)
+        else:
+            words = jax.lax.bitcast_convert_type(
+                rows.astype(jnp.uint8), jnp.uint32).reshape(nb, BLOCK_SZ)
+        wt = jnp.swapaxes(words, -1, -2)  # (8, nb) — the one interleave op
+        slots_v = [
+            jnp.stack([(wt[r].astype(jnp.uint32) >> (eb * d)) & mask
+                       for d in range(ndims)]).astype(jnp.int32)
+            for r in range(BLOCK_SZ)
+        ]  # 8 x (D, nb)
+        prev7 = jnp.pad(slots_v[-1][:, :-1], ((0, 0), (1, 0)))
+        slots_e = []
+        for r in range(BLOCK_SZ):
+            prev = prev7 if r == 0 else slots_v[r - 1]
+            slots_e.append(zigzag_encode(
+                sign_extend(slots_v[r] - prev, eb), eb))
+        orm = slots_e[0]
+        for r in range(1, BLOCK_SZ):
+            orm = orm | slots_e[r]
+        w_dm = block_widths_lowdim(orm, elem_sz)  # (D, nb)
+        dense = pack_fields_lowdim_dmajor(slots_e, w_dm, elem_sz)
+        widths = pack_rows_from_dmajor(w_dm, 1)  # (nb, D) uint8
+        hdr = pack_rows_from_dmajor(header_value(w_dm, eb), 1)
+        return widths, hdr, dense, w_dm.sum(axis=0)
 
     @functools.partial(
         jax.jit, static_argnames=("codec", "elem_sz", "lowdim"))
@@ -55,6 +112,9 @@ if _have_jax:
         N divisible by 8. Returns per-block arrays for all N//8 blocks.
         """
         eb = 8 * elem_sz
+        if (lowdim and codec == "delta" and LOWDIM_DMAJOR
+                and rows.shape[1] * elem_sz in (1, 2, 4)):
+            return _encode_lowdim_dmajor(rows, elem_sz)
         rows = rows.astype(jnp.int32)  # transferred narrow, computed wide
         if codec == "delta":
             errs = delta_encode(rows, eb)
@@ -108,7 +168,7 @@ def compress(
 
     widths, hdr, dense, width_sums = _encode_pass(
         jnp.asarray(rows), codec, elem_sz, lowdim)
-    widths_np = np.asarray(widths)
+    widths_np = np.asarray(widths).astype(np.int32)
     hdr_np = np.asarray(hdr).astype(np.uint8)
     dense_np = np.asarray(dense)
     zero_flags = np.asarray(width_sums)[:nb_max] == 0
@@ -157,7 +217,7 @@ def compress_batch(
             r, codec, elem_sz, lowdim)),
         static_argnames=())
     widths, hdr, dense, width_sums = batched(jnp.asarray(rows))
-    widths_np = np.asarray(widths)
+    widths_np = np.asarray(widths).astype(np.int32)
     hdr_np = np.asarray(hdr).astype(np.uint8)
     dense_np = np.asarray(dense)
     zero_np = np.asarray(width_sums) == 0

@@ -172,6 +172,62 @@ def delta_decode(errs_zz: jnp.ndarray, elem_bits: int) -> jnp.ndarray:
     return hierarchical_cumsum(deltas, value_bits=elem_bits) & ((1 << elem_bits) - 1)
 
 
+def hierarchical_cumsum_last(x: jnp.ndarray, chunk: int = 256,
+                             value_bits: int = 16) -> jnp.ndarray:
+    """Two-level inclusive prefix sum along the LAST axis of (..., N).
+
+    Same exact-integer plane decomposition as ``hierarchical_cumsum``
+    (which scans axis 0), but for the dim-major lowdim layout (D, N):
+    there the sample axis is minor, so every tensor in this formulation
+    keeps a >= chunk minor dimension and elementwise work runs at full
+    VPU lane utilization (session-6 device isolation: the axis-0 form on
+    (1M, 4) ran 30x under the elementwise ceiling because the minor dim
+    was 4). Preconditions as hierarchical_cumsum.
+    """
+    n = x.shape[-1]
+    if n <= chunk:
+        return jnp.cumsum(x, axis=-1, dtype=jnp.int32)
+    pad = (-n) % chunk
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    c = xp.reshape(*x.shape[:-1], -1, chunk)  # (..., nchunks, chunk)
+    counts = jnp.arange(chunk, dtype=jnp.int32) + 1  # broadcast on last axis
+    two_planes = value_bits > 8
+    # M[k, i] = 1 iff k <= i: contracting the chunk axis with M gives the
+    # inclusive prefix along the last axis.
+    if PREFIX_IMPL == "s8":
+        m = jnp.triu(jnp.ones((chunk, chunk), jnp.int8))
+
+        def pdot(p):
+            return jax.lax.dot_general(
+                p, m, dimension_numbers=(((p.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+
+        if two_planes:
+            lo = pdot(((c & 0xFF) - 128).astype(jnp.int8))
+            hi = pdot((c >> 8).astype(jnp.int8))
+            inner = lo + (counts << 7) + (hi << 8)
+        else:
+            inner = pdot(c.astype(jnp.int8))
+    else:
+        m = jnp.triu(jnp.ones((chunk, chunk), jnp.bfloat16))
+
+        def pdot(p):
+            return jax.lax.dot_general(
+                p, m, dimension_numbers=(((p.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+
+        if two_planes:
+            lo = pdot((c & 0xFF).astype(jnp.bfloat16))
+            hi = pdot(((c >> 8) + 128).astype(jnp.bfloat16))
+            inner = lo + (hi << 8) - (counts << 15)
+        else:
+            inner = pdot((c + 128).astype(jnp.bfloat16)) - (counts << 7)
+    totals = inner[..., -1]
+    offsets = jnp.cumsum(totals, axis=-1, dtype=jnp.int32) - totals
+    out = inner + offsets[..., None]
+    return out.reshape(*x.shape[:-1], -1)[..., :n]
+
+
 # ------------------------------------------------------------------ FIRE
 
 

@@ -344,3 +344,143 @@ def unpack_dims_lowdim(dense: jnp.ndarray, widths: jnp.ndarray) -> jnp.ndarray:
         return _chunked(chunk_wsel, nb, dense, widths)
     return _chunked(chunk_sel if LOWDIM_IMPL == "select" else chunk,
                     nb, dense, widths)
+
+
+def unpack_dims_lowdim_dmajor(dense: jnp.ndarray, widths: jnp.ndarray
+                              ) -> list[jnp.ndarray]:
+    """Dim-major lowdim unpack: (nb, D, EB) uint8 -> 8 x (D, nb) int32.
+
+    TPU tiles pad the minor dim to 128 lanes, so any (.., D<=4)- or
+    (.., 8)-minor tensor pays a 16-32x traffic bloat — the session-6/7
+    measurements showed every lowdim stage bound by exactly this. Here
+    NOTHING small-minor is ever materialized: payload bytes become
+    (D, EB, nb) planes via one u32-word transpose, extraction is
+    width-stratified static shifts on (D, nb) slices (lowdim bit
+    offsets are r*w — no cross-dim cumsum), and the 8 sample slots stay
+    separate (D, nb) arrays for the caller to prefix/interleave with
+    word tricks.
+    """
+    nb, ndims, eb = dense.shape
+    k32 = ndims * eb // 4
+    words = jax.lax.bitcast_convert_type(
+        dense.astype(jnp.uint8).reshape(nb, k32, 4), jnp.uint32)
+    words = jnp.swapaxes(words, -1, -2).astype(jnp.int32)  # (k32, nb)
+    planes = jnp.stack([
+        (words[(d * eb + j) // 4] >> (8 * (j % 4))) & 0xFF
+        for d in range(ndims) for j in range(eb)
+    ]).reshape(ndims, eb, nb)
+    w_t = jnp.swapaxes(widths, -1, -2).astype(jnp.int32)  # (D, nb)
+    rows = []
+    for r in range(BLOCK_SZ):
+        out_r = jnp.zeros((ndims, nb), jnp.int32)
+        for w in _lowdim_widths(eb):
+            br = r * w
+            q, s = br >> 3, br & 7
+            word = planes[:, q]
+            if s + w > 8:
+                word = word | (planes[:, q + 1] << 8)
+            if s + w > 16:
+                word = word | (planes[:, q + 2] << 16)
+            out_r = jnp.where(w_t == w, (word >> s) & ((1 << w) - 1), out_r)
+        rows.append(out_r)
+    return rows
+
+
+def pack_fields_lowdim_dmajor(slots: list[jnp.ndarray], widths: jnp.ndarray,
+                              elem_sz: int) -> jnp.ndarray:
+    """Dim-major lowdim pack: 8 x (D, nb) zigzag errs -> (nb, D, EB) u8.
+
+    Encode-side twin of ``unpack_dims_lowdim_dmajor``: field bytes are
+    emitted with width-stratified static shifts on (D, nb) slices, the
+    per-dim EB bytes assemble into u32 words on full-lane arrays, and
+    one small-minor u32 transpose + free bitcast produces the
+    (nb, D, EB) layout the host assembler slices. Output bytes are
+    bit-identical to pack_dims_lowdim.
+    """
+    eb = 8 * elem_sz
+    ndims, nb = slots[0].shape
+    fields = []
+    for jbyte in range(eb):
+        out_j = jnp.zeros((ndims, nb), jnp.int32)
+        for w in _lowdim_widths(eb):
+            if w <= jbyte:
+                continue  # a w-bit field occupies w bytes
+            acc = None
+            for r in range(BLOCK_SZ):
+                br = r * w
+                if br + w <= 8 * jbyte or br >= 8 * (jbyte + 1):
+                    continue
+                sh = br - 8 * jbyte
+                term = slots[r] << sh if sh >= 0 else slots[r] >> -sh
+                acc = term if acc is None else acc | term
+            out_j = jnp.where(widths == w, acc & 0xFF, out_j)
+        fields.append(out_j.astype(jnp.uint32))
+    words = jnp.stack([
+        fields[4 * g] | (fields[4 * g + 1] << 8)
+        | (fields[4 * g + 2] << 16) | (fields[4 * g + 3] << 24)
+        for g in range(eb // 4)
+    ])  # (G, D, nb)
+    flat = jnp.swapaxes(words, 0, 1).reshape(ndims * (eb // 4), nb)
+    rows = jnp.swapaxes(flat, -1, -2)  # (nb, D*G) — the one small-minor op
+    return jax.lax.bitcast_convert_type(
+        rows, jnp.uint8).reshape(nb, ndims, eb)
+
+
+def interleave_rows_dmajor(slots: list[jnp.ndarray], elem_sz: int
+                           ) -> jnp.ndarray:
+    """8 x (D, nb) int32 sample slots -> (nb*8, D) narrow rows.
+
+    Each slot's row packs into one <= 32-bit word on full-lane (nb,)
+    arrays; ONE (8, nb) -> (nb, 8) word transpose performs the whole
+    time interleave, and a free bitcast splits dims back out. Requires
+    D * elem_sz in {1, 2, 4}.
+    """
+    ndims, nb = slots[0].shape
+    ebits = 8 * elem_sz
+    mask = (1 << ebits) - 1
+    row_b = ndims * elem_sz
+
+    def rowword(v):
+        vu = v.astype(jnp.uint32) & mask
+        w = vu[0]
+        for d in range(1, ndims):
+            w = w | (vu[d] << (ebits * d))
+        if row_b == 1:
+            return w.astype(jnp.uint8)
+        if row_b == 2:
+            return w.astype(jnp.uint16)
+        return w
+
+    wt = jnp.swapaxes(jnp.stack([rowword(v) for v in slots]), -1, -2)
+    udt = jnp.uint8 if elem_sz == 1 else jnp.uint16
+    if ndims > 1:
+        wt = jax.lax.bitcast_convert_type(wt, udt)  # (nb, 8, D)
+    return wt.reshape(nb * BLOCK_SZ, ndims)
+
+
+def pack_rows_from_dmajor(vals: jnp.ndarray, elem_sz: int) -> jnp.ndarray:
+    """(D, N) int32 dim-major values -> (N, D) narrow rows.
+
+    A row of D*elem_sz <= 4 bytes IS one machine word, so the
+    dim-planes -> rows conversion is shift/OR on (N,) arrays plus a free
+    bitcast — no lane-starved (N, D)-minor transpose. Requires
+    D * elem_sz in {1, 2, 4}.
+    """
+    ndims = vals.shape[0]
+    row_b = ndims * elem_sz
+    udt = jnp.uint8 if elem_sz == 1 else jnp.uint16
+    if ndims == 1:
+        return vals[0].astype(udt)[:, None]
+    ebits = 8 * elem_sz
+    mask = (1 << ebits) - 1
+    vu = vals.astype(jnp.uint32)
+    if row_b == 2:  # two u8 dims -> one u16 word
+        packed = ((vu[0] & 0xFF) | ((vu[1] & 0xFF) << 8)).astype(jnp.uint16)
+        return jax.lax.bitcast_convert_type(packed, jnp.uint8)
+    assert row_b == 4, "dmajor rows must be 1, 2 or 4 bytes"
+    if ndims == 2:  # two u16 dims -> one u32 word
+        packed = (vu[0] & mask) | ((vu[1] & mask) << 16)
+        return jax.lax.bitcast_convert_type(packed, jnp.uint16)
+    packed = ((vu[0] & 0xFF) | ((vu[1] & 0xFF) << 8)
+              | ((vu[2] & 0xFF) << 16) | ((vu[3] & 0xFF) << 24))
+    return jax.lax.bitcast_convert_type(packed, jnp.uint8)

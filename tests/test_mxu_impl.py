@@ -140,6 +140,123 @@ def test_lowdim_impl_roundtrip(rng, lowdim_impl, ndims, elem_sz):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(errs))
 
 
+@pytest.mark.parametrize("prefix_chunk", [256, 512])
+@pytest.mark.parametrize("value_bits,ncols", [(8, 1), (8, 4), (16, 2)])
+def test_hierarchical_cumsum_last_exact(rng, prefix_impl, value_bits,
+                                        ncols, prefix_chunk):
+    """The last-axis (dim-major) prefix must match the int64 oracle for
+    both MXU formats, including a non-multiple-of-chunk length."""
+    import jax.numpy as jnp
+
+    lim = 1 << (value_bits - 1)
+    n = 4000  # not a multiple of chunk
+    x = rng.integers(-lim, lim, (ncols, n))
+    got = np.asarray(fc.hierarchical_cumsum_last(
+        jnp.asarray(x, jnp.int32), chunk=prefix_chunk,
+        value_bits=value_bits))
+    ref = np.cumsum(x.astype(np.int64), axis=-1).astype(np.int32)
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("ndims,elem_sz", [(1, 1), (2, 1), (4, 1), (1, 2),
+                                           (2, 2)])
+def test_dmajor_unpack_matches_legacy(rng, ndims, elem_sz):
+    """The dim-major unpack must agree with the batched lowdim unpack
+    across every legal width (incl. promotions)."""
+    import jax.numpy as jnp
+
+    from sprintz_tpu.ops.bitmath import block_widths_lowdim
+
+    eb = 8 * elem_sz
+    nb = 512
+    errs = jnp.asarray(rng.integers(0, 1 << eb, (nb, 8, ndims)), jnp.int32)
+    cap = jnp.asarray(rng.integers(0, eb + 1, (nb, 1, ndims)), jnp.int32)
+    errs = errs & ((1 << cap) - 1)
+    orm = jnp.bitwise_or.reduce(errs, axis=1)
+    widths = jnp.asarray(block_widths_lowdim(orm, elem_sz), jnp.int32)
+    errs = errs & ((1 << widths)[:, None, :] - 1)
+    dense = pack.pack_dims_lowdim(errs, widths, elem_sz)
+    slots = pack.unpack_dims_lowdim_dmajor(dense, widths)  # 8 x (D, nb)
+    got = np.stack([np.asarray(s) for s in slots], axis=-1)  # (D, nb, 8)
+    want = np.asarray(errs).transpose(2, 0, 1)
+    np.testing.assert_array_equal(got, want)
+    # the encode-side twin must reproduce the packed bytes exactly
+    repacked = pack.pack_fields_lowdim_dmajor(
+        [jnp.asarray(got[:, :, r]) for r in range(8)],
+        jnp.asarray(np.asarray(widths).T), elem_sz)
+    np.testing.assert_array_equal(np.asarray(repacked), np.asarray(dense))
+
+
+@pytest.mark.parametrize("ndims,elem_sz", [(2, 1), (4, 1), (2, 2)])
+def test_pack_rows_from_dmajor_bitcast(rng, ndims, elem_sz):
+    """The u32-word row packing must invert the row->planes split."""
+    import jax.numpy as jnp
+
+    eb = 8 * elem_sz
+    vals = rng.integers(0, 1 << eb, (ndims, 1024))
+    got = np.asarray(pack.pack_rows_from_dmajor(
+        jnp.asarray(vals, jnp.int32), elem_sz))
+    np.testing.assert_array_equal(got, vals.T.astype(got.dtype))
+
+
+@pytest.mark.parametrize("ndims,elem_sz", [(1, 1), (2, 1), (4, 1), (1, 2),
+                                           (2, 2)])
+def test_interleave_rows_dmajor(rng, ndims, elem_sz):
+    """The one-transpose slot interleave must produce time-ordered rows."""
+    import jax.numpy as jnp
+
+    eb = 8 * elem_sz
+    nb = 256
+    want = rng.integers(0, 1 << eb, (nb * 8, ndims))
+    slots = [jnp.asarray(want.reshape(nb, 8, ndims)[:, r].T, jnp.int32)
+             for r in range(8)]
+    got = np.asarray(pack.interleave_rows_dmajor(slots, elem_sz))
+    np.testing.assert_array_equal(got, want.astype(got.dtype))
+
+
+@pytest.mark.parametrize("ndims,elem_sz", [(1, 1), (2, 1), (4, 1), (2, 2)])
+def test_dmajor_encode_bytes_identical(rng, ndims, elem_sz):
+    """The dim-major encode pass must emit byte-identical streams."""
+    from sprintz_tpu import encoder
+
+    dt = np.uint8 if elem_sz == 1 else np.uint16
+    x = np.where(rng.random(4000 * ndims) < 0.3,
+                 rng.integers(0, 1 << (8 * elem_sz), 4000 * ndims),
+                 0).astype(dt)
+    prev = encoder.LOWDIM_DMAJOR
+    try:
+        streams = {}
+        for flag in (True, False):
+            encoder.LOWDIM_DMAJOR = flag
+            jax.clear_caches()
+            streams[flag] = encoder.compress(x, ndims, codec="delta",
+                                             elem_sz=elem_sz)
+        assert streams[True] == streams[False]
+    finally:
+        encoder.LOWDIM_DMAJOR = prev
+        jax.clear_caches()
+
+
+def test_dmajor_decode_toggle_identical(rng):
+    """Production lowdim decode must be identical with dmajor on/off."""
+    from sprintz_tpu import decoder, encoder
+
+    x = (np.cumsum(rng.integers(-9, 10, 4000 * 4)) % 256).astype(np.uint8)
+    s = encoder.compress(x, 4, codec="delta")
+    prev = decoder.LOWDIM_DMAJOR
+    try:
+        outs = {}
+        for flag in (True, False):
+            decoder.LOWDIM_DMAJOR = flag
+            jax.clear_caches()
+            outs[flag] = decoder.decompress(s, "delta", 1)
+        np.testing.assert_array_equal(outs[True], outs[False])
+        np.testing.assert_array_equal(outs[True], x)
+    finally:
+        decoder.LOWDIM_DMAJOR = prev
+        jax.clear_caches()
+
+
 @pytest.mark.parametrize("ndims,elem_sz", [(4, 1), (2, 2)])
 def test_lowdim_stream_bytes_identical_across_impls(rng, ndims, elem_sz):
     """The lowdim kernel formulation is an implementation detail: the
