@@ -57,6 +57,11 @@ CHUNK_OUT_BYTES = 64 << 20
 # at trace time; jax.clear_caches() after changing in-process.
 LOWDIM_DMAJOR = os.environ.get("SPRINTZ_LOWDIM_DMAJOR", "1") == "1"
 
+# dmajor extraction formulation: "dyn" = per-element variable-shift
+# window extraction (~10 ops/sample-slot); "strata" = width-stratified
+# static shifts (~25 ops/slot; lost to op-count on device, session 9).
+LOWDIM_DMAJOR_IMPL = os.environ.get("SPRINTZ_LOWDIM_DMAJOR_IMPL", "dyn")
+
 
 def _dmajor_ok(codec: str, ndims: int, elem_sz: int) -> bool:
     return (LOWDIM_DMAJOR and codec == "delta"
@@ -75,10 +80,17 @@ if _have_jax:
         interleave_rows_dmajor.
         """
         from .ops.bitmath import zigzag_decode
-        from .ops.pack import interleave_rows_dmajor, unpack_dims_lowdim_dmajor
+        from .ops.pack import (
+            interleave_rows_dmajor,
+            unpack_dims_lowdim_dmajor,
+            unpack_dims_lowdim_dynshift,
+        )
 
         eb = 8 * elem_sz
-        slots = unpack_dims_lowdim_dmajor(dense, widths)  # 8 x (D, nb)
+        unpack = (unpack_dims_lowdim_dynshift
+                  if LOWDIM_DMAJOR_IMPL == "dyn"
+                  else unpack_dims_lowdim_dmajor)
+        slots = unpack(dense, widths)  # 8 x (D, nb)
         intra = []
         run = None
         for r in range(BLOCK_SZ):

@@ -51,6 +51,9 @@ except Exception:  # pragma: no cover
 # formulation). Read at trace time; jax.clear_caches() after changing.
 LOWDIM_DMAJOR = os.environ.get("SPRINTZ_LOWDIM_DMAJOR", "1") == "1"
 
+# dmajor pack formulation — see decoder.LOWDIM_DMAJOR_IMPL
+LOWDIM_DMAJOR_IMPL = os.environ.get("SPRINTZ_LOWDIM_DMAJOR_IMPL", "dyn")
+
 
 if _have_jax:
 
@@ -64,8 +67,15 @@ if _have_jax:
         (nb, *) outputs ride u32-word bitcasts.
         """
         from .ops.bitmath import sign_extend, zigzag_encode
-        from .ops.pack import pack_fields_lowdim_dmajor, pack_rows_from_dmajor
+        from .ops.pack import (
+            pack_fields_lowdim_dmajor,
+            pack_fields_lowdim_dynshift,
+            pack_rows_from_dmajor,
+        )
 
+        pack_fields = (pack_fields_lowdim_dynshift
+                       if LOWDIM_DMAJOR_IMPL == "dyn"
+                       else pack_fields_lowdim_dmajor)
         eb = 8 * elem_sz
         n, ndims = rows.shape
         nb = n // BLOCK_SZ

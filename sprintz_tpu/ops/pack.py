@@ -426,6 +426,92 @@ def pack_fields_lowdim_dmajor(slots: list[jnp.ndarray], widths: jnp.ndarray,
         rows, jnp.uint8).reshape(nb, ndims, eb)
 
 
+def unpack_dims_lowdim_dynshift(dense: jnp.ndarray, widths: jnp.ndarray
+                                ) -> list[jnp.ndarray]:
+    """Dynamic-shift lowdim unpack: (nb, D, EB) u8 -> 8 x (D, nb) int32.
+
+    The width-stratified formulations die by op count (~200 small ops;
+    sessions 7/9: ~6 ms regardless of layout). Here there is NO
+    per-width unroll: a dim's field is 2 (u8) or 4 (u16) u32 words, and
+    sample r's window is extracted with per-element VARIABLE shifts —
+    an elementwise VPU op (the scalarization hazard on this stack is
+    per-element indexed gathers, not shifts). ~6 ops per byte of the
+    3-byte window, on (D, nb) full-minor arrays.
+    """
+    nb, ndims, eb = dense.shape
+    k32 = eb // 4  # u32 words per dim field: 2 (u8) / 4 (u16)
+    words = jax.lax.bitcast_convert_type(
+        dense.astype(jnp.uint8).reshape(nb, ndims * k32, 4), jnp.uint32)
+    words = jnp.swapaxes(words, -1, -2)  # (D*k32, nb) u32
+    wlist = [words[d * k32 + g].astype(jnp.int32)
+             for d in range(ndims) for g in range(k32)]
+
+    stackw = jnp.stack([jnp.stack(wlist[d * k32: (d + 1) * k32])
+                        for d in range(ndims)])  # (D, k32, nb)
+
+    def getword(g_idx):
+        """Word g_idx (D, nb) where g_idx is a traced (D, nb) int32 in
+        [0, k32): a select chain over the k32 static words. Out-of-range
+        indices return word 0 — callers only read bytes the width mask
+        discards in that case."""
+        out = stackw[:, 0]
+        for g in range(1, k32):
+            out = jnp.where(g_idx == g, stackw[:, g], out)
+        return out
+
+    w_t = jnp.swapaxes(widths, -1, -2).astype(jnp.int32)  # (D, nb)
+    mask = (1 << w_t) - 1
+    slots = []
+    for r in range(BLOCK_SZ):
+        br = r * w_t  # (D, nb) dynamic bit offset
+        q = br >> 3
+        s = br & 7
+
+        def byte_at(qq):
+            w32 = getword(qq >> 2)
+            return (w32 >> ((qq & 3) << 3)) & 0xFF
+
+        word = byte_at(q) | (byte_at(q + 1) << 8)
+        if eb > 8:
+            word = word | (byte_at(q + 2) << 16)
+        slots.append((word >> s) & mask)
+    return slots
+
+
+def pack_fields_lowdim_dynshift(slots: list[jnp.ndarray],
+                                widths: jnp.ndarray, elem_sz: int
+                                ) -> jnp.ndarray:
+    """Dynamic-shift lowdim pack: 8 x (D, nb) errs -> (nb, D, EB) u8.
+
+    Encode twin of ``unpack_dims_lowdim_dynshift``: each sample ORs its
+    w bits into the dim field's u32 words with per-element variable
+    shifts (shift amounts masked into [0, 31]; straddle parts routed by
+    selects). Bytes are bit-identical to pack_dims_lowdim.
+    """
+    eb = 8 * elem_sz
+    ndims, nb = slots[0].shape
+    k32 = eb // 4
+    w_t = widths.astype(jnp.uint32)  # (D, nb)
+    accs = [jnp.zeros((ndims, nb), jnp.uint32) for _ in range(k32)]
+    for r in range(BLOCK_SZ):
+        e = slots[r].astype(jnp.uint32)
+        br = r * w_t  # bit offset within the field, < 8*EB
+        for g in range(k32):
+            # contribution of sample r to word g: bits [32g, 32g+32)
+            rel = br.astype(jnp.int32) - 32 * g  # signed offset into word
+            lsh = (e << (rel.astype(jnp.uint32) & 31))
+            rsh = (e >> ((-rel).astype(jnp.uint32) & 31))
+            contrib = jnp.where(rel >= 0,
+                                jnp.where(rel < 32, lsh, 0),
+                                jnp.where(rel > -32, rsh, 0))
+            accs[g] = accs[g] | contrib
+    flat = jnp.stack([accs[g][d] for d in range(ndims)
+                      for g in range(k32)])  # (D*k32, nb)
+    rows = jnp.swapaxes(flat, -1, -2)  # (nb, D*k32)
+    return jax.lax.bitcast_convert_type(
+        rows, jnp.uint8).reshape(nb, ndims, eb)
+
+
 def interleave_rows_dmajor(slots: list[jnp.ndarray], elem_sz: int
                            ) -> jnp.ndarray:
     """8 x (D, nb) int32 sample slots -> (nb*8, D) narrow rows.

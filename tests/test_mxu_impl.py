@@ -187,6 +187,34 @@ def test_dmajor_unpack_matches_legacy(rng, ndims, elem_sz):
     np.testing.assert_array_equal(np.asarray(repacked), np.asarray(dense))
 
 
+@pytest.mark.parametrize("ndims,elem_sz", [(1, 1), (2, 1), (4, 1), (1, 2),
+                                           (2, 2)])
+def test_dynshift_unpack_matches_legacy(rng, ndims, elem_sz):
+    """The dynamic-shift unpack/pack twins must agree with the batched
+    lowdim formats across every legal width (incl. promotions)."""
+    import jax.numpy as jnp
+
+    from sprintz_tpu.ops.bitmath import block_widths_lowdim
+
+    eb = 8 * elem_sz
+    nb = 512
+    errs = jnp.asarray(rng.integers(0, 1 << eb, (nb, 8, ndims)), jnp.int32)
+    cap = jnp.asarray(rng.integers(0, eb + 1, (nb, 1, ndims)), jnp.int32)
+    errs = errs & ((1 << cap) - 1)
+    orm = jnp.bitwise_or.reduce(errs, axis=1)
+    widths = jnp.asarray(block_widths_lowdim(orm, elem_sz), jnp.int32)
+    errs = errs & ((1 << widths)[:, None, :] - 1)
+    dense = pack.pack_dims_lowdim(errs, widths, elem_sz)
+    slots = pack.unpack_dims_lowdim_dynshift(dense, widths)  # 8 x (D, nb)
+    got = np.stack([np.asarray(s) for s in slots], axis=-1)  # (D, nb, 8)
+    want = np.asarray(errs).transpose(2, 0, 1)
+    np.testing.assert_array_equal(got, want)
+    repacked = pack.pack_fields_lowdim_dynshift(
+        [jnp.asarray(got[:, :, r]) for r in range(8)],
+        jnp.asarray(np.asarray(widths).T), elem_sz)
+    np.testing.assert_array_equal(np.asarray(repacked), np.asarray(dense))
+
+
 @pytest.mark.parametrize("ndims,elem_sz", [(2, 1), (4, 1), (2, 2)])
 def test_pack_rows_from_dmajor_bitcast(rng, ndims, elem_sz):
     """The u32-word row packing must invert the row->planes split."""
