@@ -62,10 +62,26 @@ LOWDIM_DMAJOR = os.environ.get("SPRINTZ_LOWDIM_DMAJOR", "1") == "1"
 # static shifts (~25 ops/slot; lost to op-count on device, session 9).
 LOWDIM_DMAJOR_IMPL = os.environ.get("SPRINTZ_LOWDIM_DMAJOR_IMPL", "dyn")
 
+# Lowdim delta decode pass: "legacy" (batched einsum + (N, D) prefix),
+# "dmajor" (8 dim-major (D, nb) slots), "grouped" (G = 128/D blocks
+# folded so every N-scale tensor is (c, 8, ~128) — full tiles).
+LOWDIM_PASS = os.environ.get(
+    "SPRINTZ_LOWDIM_PASS", "dmajor" if LOWDIM_DMAJOR else "legacy")
+
+
+def _lowdim_pass(codec: str, ndims: int, elem_sz: int) -> str:
+    """Which fused lowdim delta pass applies (falls back to legacy)."""
+    if codec != "delta":
+        return "legacy"
+    if LOWDIM_PASS == "grouped":
+        return "grouped"
+    if LOWDIM_PASS == "dmajor" and ndims * elem_sz in (1, 2, 4):
+        return "dmajor"
+    return "legacy"
+
 
 def _dmajor_ok(codec: str, ndims: int, elem_sz: int) -> bool:
-    return (LOWDIM_DMAJOR and codec == "delta"
-            and ndims * elem_sz in (1, 2, 4))
+    return _lowdim_pass(codec, ndims, elem_sz) == "dmajor"
 
 
 if _have_jax:
@@ -104,6 +120,49 @@ if _have_jax:
         mask = (1 << eb) - 1
         vals = [(x + offs) & mask for x in intra]
         return interleave_rows_dmajor(vals, elem_sz), vals[-1][:, -1]
+
+    def _decode_lowdim_grouped(dense, widths, elem_sz, state=None):
+        """(nb, D, EB) u8 + (nb, D) widths -> ((N, D) narrow, (D,) last).
+
+        Group-folded lowdim delta pass: G = ~128/D consecutive blocks
+        fold into the einsum's dim axis, so every tensor that scales
+        with N is (c, 8, G*D~128) — full lanes AND full sublanes (the
+        legacy pass runs minor-dim D<=4; dmajor runs second-minor D).
+        The cross-block prefix decomposes into 8 static intra-block
+        adds, a per-group cumsum over g, and a per-chunk cumsum over c
+        (both on N/8-scale tensors).
+        """
+        from .ops.bitmath import zigzag_decode
+        from .ops.pack import lowdim_group, unpack_dims_lowdim
+
+        eb = 8 * elem_sz
+        nb, ndims, ebytes = dense.shape
+        g = lowdim_group(ndims)
+        pad = (-nb) % g
+        if pad:
+            dense = jnp.concatenate(
+                [dense, jnp.zeros((pad, ndims, ebytes), dense.dtype)])
+            widths = jnp.concatenate(
+                [widths, jnp.zeros((pad, ndims), widths.dtype)])
+        c = (nb + pad) // g
+        errs = unpack_dims_lowdim(
+            dense.reshape(c, g * ndims, ebytes).astype(jnp.int32),
+            widths.reshape(c, g * ndims).astype(jnp.int32))  # (c, 8, g*D)
+        deltas = zigzag_decode(errs, eb)
+        intra = jnp.cumsum(deltas, axis=1)  # 8 static adds
+        bs = intra[:, -1].reshape(c, g, ndims)  # block sums
+        offs_g = jnp.cumsum(bs, axis=1)  # inclusive over g
+        chunk_tot = offs_g[:, -1]  # (c, D)
+        offs_c = jnp.cumsum(chunk_tot, axis=0) - chunk_tot  # exclusive
+        offs = (offs_g - bs) + offs_c[:, None]  # (c, g, D) exclusive
+        if state is not None:
+            offs = offs + state[None, None, :]
+        mask = (1 << eb) - 1
+        vals = (intra.reshape(c, BLOCK_SZ, g, ndims) + offs[:, None]) & mask
+        last = vals[(nb - 1) // g, BLOCK_SZ - 1, (nb - 1) % g]  # (D,)
+        out = vals.astype(jnp.uint8 if elem_sz == 1 else jnp.uint16)
+        out = out.swapaxes(1, 2).reshape(-1, ndims)
+        return out[: nb * BLOCK_SZ], last
 
 
 @dataclasses.dataclass
@@ -220,7 +279,11 @@ if _have_jax:
         dense = dense.astype(jnp.int32)  # transferred as u8, computed wide
         widths = widths.astype(jnp.int32)
         if lowdim:
-            errs = unpack_dims_lowdim(dense, widths)
+            if LOWDIM_PASS == "grouped":  # unpack is codec-independent
+                from .ops.pack import unpack_dims_lowdim_grouped
+                errs = unpack_dims_lowdim_grouped(dense, widths)
+            else:
+                errs = unpack_dims_lowdim(dense, widths)
         else:
             errs = unpack_rows_rowmajor(dense, widths)
         ndata, _, ndims = errs.shape
@@ -250,9 +313,14 @@ if _have_jax:
         replaced by a reshape. Selected when the host walk shows
         total_rows == ndata * 8."""
         eb = 8 * elem_sz
-        if lowdim and _dmajor_ok(codec, widths.shape[-1], elem_sz):
-            vals, _ = _decode_lowdim_dmajor(dense, widths, elem_sz)
-            return vals
+        if lowdim:
+            lp = _lowdim_pass(codec, widths.shape[-1], elem_sz)
+            if lp == "dmajor":
+                vals, _ = _decode_lowdim_dmajor(dense, widths, elem_sz)
+                return vals
+            if lp == "grouped":
+                vals, _ = _decode_lowdim_grouped(dense, widths, elem_sz)
+                return vals
         dense = dense.astype(jnp.int32)
         widths = widths.astype(jnp.int32)
         if lowdim:
@@ -285,10 +353,16 @@ if _have_jax:
         from .models.forecasters import fire_decode_chunk
 
         eb = 8 * elem_sz
-        if lowdim and _dmajor_ok(codec, widths.shape[-1], elem_sz):
-            vals, last = _decode_lowdim_dmajor(dense, widths, elem_sz,
-                                               state=state[0])
-            return vals, state.at[0].set(last)
+        if lowdim:
+            lp = _lowdim_pass(codec, widths.shape[-1], elem_sz)
+            if lp == "dmajor":
+                vals, last = _decode_lowdim_dmajor(dense, widths, elem_sz,
+                                                   state=state[0])
+                return vals, state.at[0].set(last)
+            if lp == "grouped":
+                vals, last = _decode_lowdim_grouped(dense, widths, elem_sz,
+                                                    state=state[0])
+                return vals, state.at[0].set(last)
         dense = dense.astype(jnp.int32)
         widths = widths.astype(jnp.int32)
         if lowdim:

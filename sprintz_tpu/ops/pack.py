@@ -299,6 +299,25 @@ def unpack_dims_lowdim(dense: jnp.ndarray, widths: jnp.ndarray) -> jnp.ndarray:
         word = word >> (bitoff & 7)
         return word & ((1 << widths_c)[:, None, :] - 1)
 
+    def chunk_e2(dense_c, widths_c):
+        # Same one-hot contraction as ``chunk``, but every N-scale
+        # tensor keeps (second-minor, minor) = (8-ish, D) — with the
+        # grouped D ~ 128 these are full (8, 128) tiles, whereas
+        # ``chunk``'s w has minor EB=8 (16x lane padding; session-11
+        # probes: minor-8 shapes run ~10 GB/s-equiv vs ~150+ full).
+        bitoff = jnp.arange(BLOCK_SZ)[None, :, None] * widths_c[:, None, :]
+        q = bitoff >> 3  # (c, 8, D)
+        rel = q[:, None] - j[None, :, None, None]  # (c, EB, 8, D)
+        w = jnp.where(rel == 0, 1.0,
+                      jnp.where(rel == -1, 256.0,
+                                jnp.where(rel == -2, 65536.0, 0.0)))
+        d_t = dense_c.transpose(0, 2, 1)  # (c, EB, D)
+        word = jnp.einsum(
+            "cjd,cjrd->crd", d_t.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        word = word >> (bitoff & 7)
+        return word & ((1 << widths_c)[:, None, :] - 1)
+
     def chunk_sel(dense_c, widths_c):
         # VPU select-accumulate, block axis minor (lanes = blocks): each
         # sample's 3-byte window gathers as masked sums over the EB
@@ -342,8 +361,61 @@ def unpack_dims_lowdim(dense: jnp.ndarray, widths: jnp.ndarray) -> jnp.ndarray:
 
     if LOWDIM_IMPL == "wselect":
         return _chunked(chunk_wsel, nb, dense, widths)
+    if LOWDIM_IMPL == "einsum2":
+        return _chunked(chunk_e2, nb, dense, widths)
     return _chunked(chunk_sel if LOWDIM_IMPL == "select" else chunk,
                     nb, dense, widths)
+
+
+def lowdim_group(ndims: int) -> int:
+    """Blocks folded per einsum batch so the virtual dim axis ~ 128."""
+    return max(1, 128 // ndims)
+
+
+def unpack_dims_lowdim_grouped(dense: jnp.ndarray, widths: jnp.ndarray,
+                               group: int = 0) -> jnp.ndarray:
+    """Grouped lowdim unpack, bit-identical to ``unpack_dims_lowdim``.
+
+    The plain batched einsum is lane-starved at D<=4 (its batch minor
+    dims are (D, EB)); every dim field decodes independently, so G
+    consecutive blocks fold into G*D ~ 128 virtual dims — the exact
+    shape of the fast rowmajor unpack — and unfold afterwards.
+    dense: (nb, D, EB) bytes; widths: (nb, D). Returns (nb, 8, D) int32.
+    """
+    nb, ndims, eb = dense.shape
+    g = group or lowdim_group(ndims)
+    pad = (-nb) % g
+    if pad:
+        dense = jnp.concatenate(
+            [dense, jnp.zeros((pad, ndims, eb), dense.dtype)])
+        widths = jnp.concatenate(
+            [widths, jnp.zeros((pad, ndims), widths.dtype)])
+    c = (nb + pad) // g
+    errs = unpack_dims_lowdim(dense.reshape(c, g * ndims, eb),
+                              widths.reshape(c, g * ndims))  # (c, 8, G*D)
+    errs = errs.reshape(c, BLOCK_SZ, g, ndims).swapaxes(1, 2)
+    return errs.reshape(c * g, BLOCK_SZ, ndims)[:nb]
+
+
+def pack_dims_lowdim_grouped(errs_zz: jnp.ndarray, widths: jnp.ndarray,
+                             elem_sz: int, group: int = 0) -> jnp.ndarray:
+    """Grouped twin of ``pack_dims_lowdim`` (bit-identical output).
+
+    errs_zz: (nb, 8, D) int32; widths: (nb, D). Returns (nb, D, EB) u8.
+    """
+    nb, _, ndims = errs_zz.shape
+    g = group or lowdim_group(ndims)
+    pad = (-nb) % g
+    if pad:
+        errs_zz = jnp.concatenate(
+            [errs_zz, jnp.zeros((pad, BLOCK_SZ, ndims), errs_zz.dtype)])
+        widths = jnp.concatenate(
+            [widths, jnp.zeros((pad, ndims), widths.dtype)])
+    c = (nb + pad) // g
+    eg = errs_zz.reshape(c, g, BLOCK_SZ, ndims).swapaxes(1, 2)
+    dense = pack_dims_lowdim(eg.reshape(c, BLOCK_SZ, g * ndims),
+                             widths.reshape(c, g * ndims), elem_sz)
+    return dense.reshape(c * g, ndims, 8 * elem_sz)[:nb]
 
 
 def unpack_dims_lowdim_dmajor(dense: jnp.ndarray, widths: jnp.ndarray

@@ -70,3 +70,22 @@ def test_chunked_decode_matches_single_pass(rng, codec, elem_sz, monkeypatch):
     got = dec.decompress(buf, codec=codec, elem_sz=elem_sz)
     np.testing.assert_array_equal(got, want)
     np.testing.assert_array_equal(got, x)
+
+
+@pytest.mark.parametrize("lowdim_pass", ["legacy", "dmajor", "grouped"])
+def test_chunked_lowdim_passes_state_carry(rng, lowdim_pass, monkeypatch):
+    """Every lowdim delta pass must carry tile state identically."""
+    import jax
+
+    from sprintz_tpu import decoder as dec
+
+    x = (np.cumsum(rng.integers(-7, 8, 100_000 * 4)) % 256).astype(np.uint8)
+    buf = encoder.compress(x, 4, codec="delta")
+    monkeypatch.setattr(dec, "LOWDIM_PASS", lowdim_pass)
+    monkeypatch.setattr(dec, "CHUNK_OUT_BYTES", 1 << 16)
+    jax.clear_caches()
+    try:
+        got = dec.decompress(buf, codec="delta", elem_sz=1)
+    finally:
+        jax.clear_caches()
+    np.testing.assert_array_equal(got, x)

@@ -106,7 +106,7 @@ def test_s8_full_stream_roundtrip(rng):
         jax.clear_caches()
 
 
-@pytest.fixture(params=["select", "einsum", "wselect"])
+@pytest.fixture(params=["select", "einsum", "wselect", "einsum2"])
 def lowdim_impl(request):
     prev = pack.LOWDIM_IMPL
     pack.LOWDIM_IMPL = request.param
@@ -262,6 +262,53 @@ def test_dmajor_encode_bytes_identical(rng, ndims, elem_sz):
         assert streams[True] == streams[False]
     finally:
         encoder.LOWDIM_DMAJOR = prev
+        jax.clear_caches()
+
+
+@pytest.mark.parametrize("ndims,elem_sz", [(1, 1), (3, 1), (4, 1), (2, 2)])
+def test_grouped_unpack_pack_match(rng, ndims, elem_sz):
+    """Group-folded unpack/pack must be bit-identical to the plain
+    batched forms, including at nb not a multiple of the group."""
+    import jax.numpy as jnp
+
+    from sprintz_tpu.ops.bitmath import block_widths_lowdim
+
+    eb = 8 * elem_sz
+    nb = 517  # deliberately not a multiple of any group size
+    errs = jnp.asarray(rng.integers(0, 1 << eb, (nb, 8, ndims)), jnp.int32)
+    cap = jnp.asarray(rng.integers(0, eb + 1, (nb, 1, ndims)), jnp.int32)
+    errs = errs & ((1 << cap) - 1)
+    orm = jnp.bitwise_or.reduce(errs, axis=1)
+    widths = jnp.asarray(block_widths_lowdim(orm, elem_sz), jnp.int32)
+    errs = errs & ((1 << widths)[:, None, :] - 1)
+    dense = pack.pack_dims_lowdim(errs, widths, elem_sz)
+    got = pack.unpack_dims_lowdim_grouped(dense, widths)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(errs))
+    packed = pack.pack_dims_lowdim_grouped(errs, widths, elem_sz)
+    np.testing.assert_array_equal(np.asarray(packed), np.asarray(dense))
+
+
+@pytest.mark.parametrize("ndims,elem_sz", [(1, 1), (3, 1), (4, 1), (2, 2)])
+def test_grouped_decode_pass_identical(rng, ndims, elem_sz):
+    """The grouped lowdim pass must decode identically to legacy."""
+    from sprintz_tpu import decoder, encoder
+
+    dt = np.uint8 if elem_sz == 1 else np.uint16
+    lim = 9 if elem_sz == 1 else 900
+    x = (np.cumsum(rng.integers(-lim, lim + 1, 4001 * ndims))
+         % (1 << (8 * elem_sz))).astype(dt)
+    s = encoder.compress(x, ndims, codec="delta", elem_sz=elem_sz)
+    prev = decoder.LOWDIM_PASS
+    try:
+        outs = {}
+        for name in ("legacy", "grouped"):
+            decoder.LOWDIM_PASS = name
+            jax.clear_caches()
+            outs[name] = decoder.decompress(s, "delta", elem_sz)
+        np.testing.assert_array_equal(outs["grouped"], outs["legacy"])
+        np.testing.assert_array_equal(outs["grouped"], x)
+    finally:
+        decoder.LOWDIM_PASS = prev
         jax.clear_caches()
 
 
