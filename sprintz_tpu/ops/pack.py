@@ -318,6 +318,37 @@ def unpack_dims_lowdim(dense: jnp.ndarray, widths: jnp.ndarray) -> jnp.ndarray:
         word = word >> (bitoff & 7)
         return word & ((1 << widths_c)[:, None, :] - 1)
 
+    def chunk_dyn(dense_c, widths_c):
+        # Per-element variable-shift extraction, no matmul and no
+        # per-width unroll: every N-scale tensor is (c, 8, D) — with the
+        # grouped D ~ 128 a pure elementwise chain XLA can fuse into one
+        # kernel whose cost is input+output traffic (session-11 probes).
+        cb, ndims_c, _ = dense_c.shape
+        k32 = eb // 4  # u32 words per dim field
+        words = jax.lax.bitcast_convert_type(
+            dense_c.astype(jnp.uint8).reshape(cb, ndims_c, k32, 4),
+            jnp.uint32)  # (c, D, k32)
+        bitoff = (jnp.arange(BLOCK_SZ)[None, :, None]
+                  * widths_c[:, None, :]).astype(jnp.uint32)  # (c, 8, D)
+        q = bitoff >> 3
+
+        def byte_at(qq):
+            # byte qq of the field; qq may overrun into [EB, EB+2) for
+            # narrow widths — the select falls back to word 0 and the
+            # final width mask discards those bits.
+            g = qq >> 2
+            out = jnp.broadcast_to(words[:, None, :, 0], qq.shape)
+            for gi in range(1, k32):
+                out = jnp.where(g == gi, words[:, None, :, gi], out)
+            return (out >> ((qq & 3) << 3)) & 0xFF
+
+        word = byte_at(q) | (byte_at(q + 1) << 8)
+        if eb > 8:
+            word = word | (byte_at(q + 2) << 16)
+        word = word >> (bitoff & 7)
+        mask = ((1 << widths_c) - 1).astype(jnp.uint32)
+        return (word & mask[:, None, :]).astype(jnp.int32)
+
     def chunk_sel(dense_c, widths_c):
         # VPU select-accumulate, block axis minor (lanes = blocks): each
         # sample's 3-byte window gathers as masked sums over the EB
@@ -363,6 +394,8 @@ def unpack_dims_lowdim(dense: jnp.ndarray, widths: jnp.ndarray) -> jnp.ndarray:
         return _chunked(chunk_wsel, nb, dense, widths)
     if LOWDIM_IMPL == "einsum2":
         return _chunked(chunk_e2, nb, dense, widths)
+    if LOWDIM_IMPL == "dyn":
+        return _chunked(chunk_dyn, nb, dense, widths)
     return _chunked(chunk_sel if LOWDIM_IMPL == "select" else chunk,
                     nb, dense, widths)
 

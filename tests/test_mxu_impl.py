@@ -106,7 +106,7 @@ def test_s8_full_stream_roundtrip(rng):
         jax.clear_caches()
 
 
-@pytest.fixture(params=["select", "einsum", "wselect", "einsum2"])
+@pytest.fixture(params=["select", "einsum", "wselect", "einsum2", "dyn"])
 def lowdim_impl(request):
     prev = pack.LOWDIM_IMPL
     pack.LOWDIM_IMPL = request.param
