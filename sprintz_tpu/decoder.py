@@ -121,6 +121,31 @@ if _have_jax:
         vals = [(x + offs) & mask for x in intra]
         return interleave_rows_dmajor(vals, elem_sz), vals[-1][:, -1]
 
+    def _grouped_prefix_finish(deltas, elem_sz, ndims, last_block, state):
+        """Shared tail of the grouped lowdim delta passes.
+
+        deltas: (c, 8, g*D) int32 signed per-dim deltas in grouped
+        layout ([c, r, g*D+d] = dim d of row r of block c*g+g). Returns
+        ((c*g*8, D) narrow rows, (D,) int32 last decoded row), where
+        ``last_block`` indexes the block whose row 7 is "last".
+        """
+        eb = 8 * elem_sz
+        c, _, gd = deltas.shape
+        g = gd // ndims
+        intra = jnp.cumsum(deltas, axis=1)  # 8 static adds
+        bs = intra[:, -1].reshape(c, g, ndims)  # block sums
+        offs_g = jnp.cumsum(bs, axis=1)  # inclusive over g
+        chunk_tot = offs_g[:, -1]  # (c, D)
+        offs_c = jnp.cumsum(chunk_tot, axis=0) - chunk_tot  # exclusive
+        offs = (offs_g - bs) + offs_c[:, None]  # (c, g, D) exclusive
+        if state is not None:
+            offs = offs + state[None, None, :]
+        mask = (1 << eb) - 1
+        vals = (intra.reshape(c, BLOCK_SZ, g, ndims) + offs[:, None]) & mask
+        last = vals[last_block // g, BLOCK_SZ - 1, last_block % g]  # (D,)
+        out = vals.astype(jnp.uint8 if elem_sz == 1 else jnp.uint16)
+        return out.swapaxes(1, 2).reshape(-1, ndims), last
+
     def _decode_lowdim_grouped(dense, widths, elem_sz, state=None):
         """(nb, D, EB) u8 + (nb, D) widths -> ((N, D) narrow, (D,) last).
 
@@ -149,20 +174,74 @@ if _have_jax:
             dense.reshape(c, g * ndims, ebytes).astype(jnp.int32),
             widths.reshape(c, g * ndims).astype(jnp.int32))  # (c, 8, g*D)
         deltas = zigzag_decode(errs, eb)
-        intra = jnp.cumsum(deltas, axis=1)  # 8 static adds
-        bs = intra[:, -1].reshape(c, g, ndims)  # block sums
-        offs_g = jnp.cumsum(bs, axis=1)  # inclusive over g
-        chunk_tot = offs_g[:, -1]  # (c, D)
-        offs_c = jnp.cumsum(chunk_tot, axis=0) - chunk_tot  # exclusive
-        offs = (offs_g - bs) + offs_c[:, None]  # (c, g, D) exclusive
-        if state is not None:
-            offs = offs + state[None, None, :]
-        mask = (1 << eb) - 1
-        vals = (intra.reshape(c, BLOCK_SZ, g, ndims) + offs[:, None]) & mask
-        last = vals[(nb - 1) // g, BLOCK_SZ - 1, (nb - 1) % g]  # (D,)
-        out = vals.astype(jnp.uint8 if elem_sz == 1 else jnp.uint16)
-        out = out.swapaxes(1, 2).reshape(-1, ndims)
+        out, last = _grouped_prefix_finish(deltas, elem_sz, ndims,
+                                           nb - 1, state)
         return out[: nb * BLOCK_SZ], last
+
+    def _decode_lowdim_grouped_scatter(dense, widths, out_block_rows,
+                                       elem_sz, total_rows, state=None):
+        """Runs-stream lowdim delta decode without the (N, D) scatter.
+
+        Zigzag-decoded row deltas pack into ONE int32 word per row
+        (lowdim row_b = D*elem_sz <= 4 always) and scatter into a FLAT
+        timeline addressed directly in grouped (ct, 8, G) coordinates:
+        the scatter is 1-D on a full-minor array (the legacy (N, D<=4)
+        row scatter measured 0.09 GB/s = the 32x lane-padding factor,
+        session 12) and the scattered result needs NO transpose before
+        the grouped prefix. Run blocks stay zero words = zero deltas =
+        carry-forward, realizing RLE semantics for free.
+        """
+        from .ops.bitmath import sign_extend, zigzag_decode
+        from .ops.pack import lowdim_group, unpack_dims_lowdim
+
+        eb = 8 * elem_sz
+        mask = (1 << eb) - 1
+        nb, ndims, ebytes = dense.shape
+        g = lowdim_group(ndims)
+        pad = (-nb) % g
+        if pad:
+            dense = jnp.concatenate(
+                [dense, jnp.zeros((pad, ndims, ebytes), dense.dtype)])
+            widths = jnp.concatenate(
+                [widths, jnp.zeros((pad, ndims), widths.dtype)])
+            out_block_rows = jnp.concatenate(
+                [out_block_rows.reshape(-1),
+                 jnp.full((pad,), total_rows,
+                          out_block_rows.dtype)])  # dropped by mode="drop"
+        c = (nb + pad) // g
+        errs = unpack_dims_lowdim(
+            dense.reshape(c, g * ndims, ebytes).astype(jnp.int32),
+            widths.reshape(c, g * ndims).astype(jnp.int32))  # (c, 8, g*D)
+        deltas_u = zigzag_decode(errs, eb) & mask
+        if ndims == 1:
+            packed = deltas_u  # (c, 8, g)
+        else:
+            packed = deltas_u[..., 0::ndims]
+            for d in range(1, ndims):
+                packed = packed | (deltas_u[..., d::ndims] << (eb * d))
+        # timeline in grouped-flat coordinates
+        nbt = total_rows // BLOCK_SZ
+        ct = (nbt + (-nbt) % g) // g
+        tb = (out_block_rows.reshape(-1) // BLOCK_SZ).astype(jnp.int32)
+        tb_g = tb.reshape(c, g)
+        idx_g = ((tb_g // g) * (BLOCK_SZ * g) + (tb_g % g))[:, None, :] \
+            + jnp.arange(BLOCK_SZ, dtype=jnp.int32)[None, :, None] * g
+        flat = jnp.zeros((ct * BLOCK_SZ * g,), jnp.int32)
+        flat = flat.at[idx_g.reshape(-1)].set(packed.reshape(-1),
+                                              mode="drop")
+        ft = flat.reshape(ct, BLOCK_SZ, g)
+        if ndims == 1:
+            deltas2 = sign_extend(ft, eb)
+        else:
+            rep = jnp.repeat(ft[..., None], ndims, -1)
+            rep = jax.lax.bitcast_convert_type(
+                rep.reshape(ct, BLOCK_SZ, g * ndims), jnp.uint32)
+            sh = jnp.tile(jnp.arange(ndims, dtype=jnp.uint32) * eb, g)
+            deltas2 = sign_extend(
+                ((rep >> sh) & jnp.uint32(mask)).astype(jnp.int32), eb)
+        out, last = _grouped_prefix_finish(deltas2, elem_sz, ndims,
+                                           nbt - 1, state)
+        return out[:total_rows], last
 
 
 @dataclasses.dataclass
@@ -276,6 +355,12 @@ if _have_jax:
         prev delta / counter.
         """
         eb = 8 * elem_sz
+        if (lowdim and _lowdim_pass(codec, widths.shape[-1], elem_sz)
+                == "grouped"):
+            vals, _ = _decode_lowdim_grouped_scatter(
+                dense, widths, out_block_rows, elem_sz, total_rows,
+                state=None if init_state is None else init_state[0])
+            return vals
         dense = dense.astype(jnp.int32)  # transferred as u8, computed wide
         widths = widths.astype(jnp.int32)
         if lowdim:

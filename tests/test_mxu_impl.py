@@ -312,6 +312,35 @@ def test_grouped_decode_pass_identical(rng, ndims, elem_sz):
         jax.clear_caches()
 
 
+@pytest.mark.parametrize("ndims,elem_sz", [(1, 1), (2, 1), (4, 1), (1, 2),
+                                           (2, 2)])
+def test_grouped_scatter_runs_identical(rng, ndims, elem_sz):
+    """The grouped flat-scatter runs path must decode RLE-heavy lowdim
+    streams identically to the legacy row scatter."""
+    from sprintz_tpu import decoder, encoder
+
+    dt = np.uint8 if elem_sz == 1 else np.uint16
+    lim = 6 if elem_sz == 1 else 600
+    n = 6000
+    seg = rng.integers(-lim, lim + 1, (n, ndims))
+    run_mask = (np.arange(n) // 64 % 3 == 0)[:, None]  # 1/3 rows in runs
+    x = (np.cumsum(np.where(run_mask, 0, seg), axis=0)
+         % (1 << (8 * elem_sz))).astype(dt).reshape(-1)
+    s = encoder.compress(x, ndims, codec="delta", elem_sz=elem_sz)
+    prev = decoder.LOWDIM_PASS
+    try:
+        outs = {}
+        for name in ("legacy", "grouped"):
+            decoder.LOWDIM_PASS = name
+            jax.clear_caches()
+            outs[name] = decoder.decompress(s, "delta", elem_sz)
+        np.testing.assert_array_equal(outs["grouped"], outs["legacy"])
+        np.testing.assert_array_equal(outs["grouped"], x)
+    finally:
+        decoder.LOWDIM_PASS = prev
+        jax.clear_caches()
+
+
 def test_dmajor_decode_toggle_identical(rng):
     """Production lowdim decode must be identical with dmajor on/off."""
     from sprintz_tpu import decoder, encoder
