@@ -64,9 +64,17 @@ LOWDIM_DMAJOR_IMPL = os.environ.get("SPRINTZ_LOWDIM_DMAJOR_IMPL", "dyn")
 
 # Lowdim delta decode pass: "legacy" (batched einsum + (N, D) prefix),
 # "dmajor" (8 dim-major (D, nb) slots), "grouped" (G = 128/D blocks
-# folded so every N-scale tensor is (c, 8, ~128) — full tiles).
-LOWDIM_PASS = os.environ.get(
-    "SPRINTZ_LOWDIM_PASS", "dmajor" if LOWDIM_DMAJOR else "legacy")
+# folded so every N-scale tensor is (c, 8, ~128) — full tiles), "auto"
+# (device-A/B winners, sessions 12/13: grouped when D divides 128 —
+# d4u8 1.21x, d2u16 1.41x, d1u8 1.34x over legacy; legacy for d3,
+# where the group padding made grouped 1.5x slower).
+LOWDIM_PASS = os.environ.get("SPRINTZ_LOWDIM_PASS", "auto")
+
+# Runs-stream timeline materialization in _decode_pass: "gather" (block
+# starts are 8-aligned, so the timeline is a major-axis gather of whole
+# blocks — full minor tiles) or "scatter" (legacy (ndata*8, D) row
+# scatter, measured 5.0 GB/s d64 u8 = ~100% of runs-decode wall time).
+RUNS_TIMELINE = os.environ.get("SPRINTZ_RUNS_TIMELINE", "gather")
 
 
 def _lowdim_pass(codec: str, ndims: int, elem_sz: int) -> str:
@@ -77,6 +85,8 @@ def _lowdim_pass(codec: str, ndims: int, elem_sz: int) -> str:
         return "grouped"
     if LOWDIM_PASS == "dmajor" and ndims * elem_sz in (1, 2, 4):
         return "dmajor"
+    if LOWDIM_PASS == "auto" and 128 % ndims == 0:
+        return "grouped"
     return "legacy"
 
 
@@ -364,7 +374,11 @@ if _have_jax:
         dense = dense.astype(jnp.int32)  # transferred as u8, computed wide
         widths = widths.astype(jnp.int32)
         if lowdim:
-            if LOWDIM_PASS == "grouped":  # unpack is codec-independent
+            # the grouped unpack is codec-independent (xff runs streams
+            # land here); same full-tile layout win as the delta pass
+            if (LOWDIM_PASS == "grouped"
+                    or (LOWDIM_PASS == "auto"
+                        and 128 % widths.shape[-1] == 0)):
                 from .ops.pack import unpack_dims_lowdim_grouped
                 errs = unpack_dims_lowdim_grouped(dense, widths)
             else:
@@ -372,11 +386,28 @@ if _have_jax:
         else:
             errs = unpack_rows_rowmajor(dense, widths)
         ndata, _, ndims = errs.shape
-        full = jnp.zeros((total_rows, ndims), dtype=jnp.int32)
-        row_idx = (out_block_rows[:, None]
-                   + jnp.arange(BLOCK_SZ)[None, :]).reshape(-1)
-        full = full.at[row_idx].set(
-            errs.reshape(ndata * BLOCK_SZ, ndims), mode="drop")
+        if RUNS_TIMELINE == "gather" and total_rows % BLOCK_SZ == 0:
+            # Block-gather timeline: runs are whole blocks (the RLE unit,
+            # golden/stream.py), so block starts are 8-aligned and the
+            # (ndata*8, D) row scatter — measured ~100% of runs-decode
+            # wall time — collapses to one tiny (ndata,) index scatter
+            # plus a major-axis gather with full minor tiles (the fast
+            # gather shape on TPU; CLAUDE.md's 1000x warning is about
+            # per-element lane-dim gathers).
+            nbt = total_rows // BLOCK_SZ
+            src = jnp.full((nbt,), ndata, jnp.int32)
+            src = src.at[out_block_rows // BLOCK_SZ].set(
+                jnp.arange(out_block_rows.shape[0], dtype=jnp.int32),
+                mode="drop")
+            errs_pad = jnp.concatenate(
+                [errs, jnp.zeros((1, BLOCK_SZ, ndims), errs.dtype)])
+            full = errs_pad[src].reshape(nbt * BLOCK_SZ, ndims)
+        else:
+            full = jnp.zeros((total_rows, ndims), dtype=jnp.int32)
+            row_idx = (out_block_rows[:, None]
+                       + jnp.arange(BLOCK_SZ)[None, :]).reshape(-1)
+            full = full.at[row_idx].set(
+                errs.reshape(ndata * BLOCK_SZ, ndims), mode="drop")
         if codec == "delta":
             vals = delta_decode(full, eb)
             if init_state is not None:

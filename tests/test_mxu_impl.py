@@ -341,6 +341,37 @@ def test_grouped_scatter_runs_identical(rng, ndims, elem_sz):
         jax.clear_caches()
 
 
+@pytest.mark.parametrize("ndims,elem_sz,lowdim,codec",
+                         [(64, 1, False, "delta"), (64, 1, False, "xff"),
+                          (16, 2, False, "delta"), (3, 1, True, "delta"),
+                          (3, 1, True, "xff")])
+def test_runs_timeline_gather_identical(rng, ndims, elem_sz, lowdim, codec):
+    """The block-gather runs timeline must decode RLE-heavy streams
+    identically to the legacy row scatter (rowmajor + non-grouped lowdim)."""
+    from sprintz_tpu import decoder, encoder
+
+    dt = np.uint8 if elem_sz == 1 else np.uint16
+    lim = 6 if elem_sz == 1 else 600
+    n = 6000
+    seg = rng.integers(-lim, lim + 1, (n, ndims))
+    run_mask = (np.arange(n) // 64 % 3 == 0)[:, None]  # 1/3 rows in runs
+    x = (np.cumsum(np.where(run_mask, 0, seg), axis=0)
+         % (1 << (8 * elem_sz))).astype(dt).reshape(-1)
+    s = encoder.compress(x, ndims, codec=codec, elem_sz=elem_sz)
+    prev = decoder.RUNS_TIMELINE
+    try:
+        outs = {}
+        for name in ("scatter", "gather"):
+            decoder.RUNS_TIMELINE = name
+            jax.clear_caches()
+            outs[name] = decoder.decompress(s, codec, elem_sz)
+        np.testing.assert_array_equal(outs["gather"], outs["scatter"])
+        np.testing.assert_array_equal(outs["gather"], x)
+    finally:
+        decoder.RUNS_TIMELINE = prev
+        jax.clear_caches()
+
+
 def test_dmajor_decode_toggle_identical(rng):
     """Production lowdim decode must be identical with dmajor on/off."""
     from sprintz_tpu import decoder, encoder
