@@ -532,6 +532,16 @@ if _have_jax:
             nb, _, ndims = errs.shape
             if contiguous:
                 full = errs.reshape(nb * BLOCK_SZ, ndims)[:rows_pad]
+            elif RUNS_TIMELINE == "gather" and rows_pad % BLOCK_SZ == 0:
+                # same block-gather timeline as _decode_pass: run starts
+                # are 8-aligned, so whole blocks gather on the major axis
+                nbt = rows_pad // BLOCK_SZ
+                src = jnp.full((nbt,), nb, jnp.int32)
+                src = src.at[rows_c // BLOCK_SZ].set(
+                    jnp.arange(nb, dtype=jnp.int32), mode="drop")
+                errs_pad = jnp.concatenate(
+                    [errs, jnp.zeros((1, BLOCK_SZ, ndims), errs.dtype)])
+                full = errs_pad[src].reshape(nbt * BLOCK_SZ, ndims)
             else:
                 full = jnp.zeros((rows_pad, ndims), jnp.int32)
                 ridx = (rows_c[:, None]
