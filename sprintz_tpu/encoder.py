@@ -54,6 +54,13 @@ LOWDIM_DMAJOR = os.environ.get("SPRINTZ_LOWDIM_DMAJOR", "1") == "1"
 # dmajor pack formulation — see decoder.LOWDIM_DMAJOR_IMPL
 LOWDIM_DMAJOR_IMPL = os.environ.get("SPRINTZ_LOWDIM_DMAJOR_IMPL", "dyn")
 
+# Lowdim delta encode pass: "dmajor" (8 dim-major (D, nb) slots — the
+# 1.9x session-9/11 winner over legacy), "grouped" (G = 128/D blocks
+# folded so every N-scale tensor is (c, 8, ~128) full tiles — the
+# formulation that won decode in sessions 12/13), "legacy".
+LOWDIM_ENCODE = os.environ.get(
+    "SPRINTZ_LOWDIM_ENCODE", "dmajor" if LOWDIM_DMAJOR else "legacy")
+
 
 if _have_jax:
 
@@ -113,18 +120,86 @@ if _have_jax:
         hdr = pack_rows_from_dmajor(header_value(w_dm, eb), 1)
         return widths, hdr, dense, w_dm.sum(axis=0)
 
+    def _encode_lowdim_grouped(rows: jnp.ndarray, elem_sz: int):
+        """Grouped delta lowdim encode: rows (N, D) narrow uint.
+
+        Same _encode_pass contract as _encode_lowdim_dmajor. G = 128/D
+        consecutive blocks fold into the dim axis so every N-scale
+        tensor is (c, 8, ~128) — full (8, 128) tiles, the layout that
+        won lowdim decode 1.2-1.4x (sessions 12/13). Rows ride one u32
+        word each (row_b = D*elem_sz <= 4), so the rows<->dim-planes
+        conversion is shift/mask, not a lane-poor transpose.
+        """
+        from .ops.bitmath import sign_extend, zigzag_encode
+        from .ops.pack import lowdim_group, pack_dims_lowdim
+
+        eb = 8 * elem_sz
+        n, ndims = rows.shape
+        nb = n // BLOCK_SZ
+        row_b = ndims * elem_sz
+        mask = (1 << eb) - 1
+        if ndims == 1:
+            words = rows.reshape(nb, BLOCK_SZ)
+        elif row_b == 2:
+            words = jax.lax.bitcast_convert_type(
+                rows.astype(jnp.uint8), jnp.uint16).reshape(nb, BLOCK_SZ)
+        elif elem_sz == 2:
+            words = jax.lax.bitcast_convert_type(
+                rows.astype(jnp.uint16), jnp.uint32).reshape(nb, BLOCK_SZ)
+        else:
+            words = jax.lax.bitcast_convert_type(
+                rows.astype(jnp.uint8), jnp.uint32).reshape(nb, BLOCK_SZ)
+        g = lowdim_group(ndims)
+        pad = (-nb) % g
+        if pad:
+            words = jnp.concatenate(
+                [words, jnp.zeros((pad, BLOCK_SZ), words.dtype)])
+        c = (nb + pad) // g
+        wg = words.reshape(c, g, BLOCK_SZ).swapaxes(1, 2)  # (c, 8, g)
+        if ndims == 1:
+            vals = wg.astype(jnp.int32) & mask
+        else:
+            rep = jnp.repeat(wg.astype(jnp.uint32)[..., None], ndims,
+                             -1).reshape(c, BLOCK_SZ, g * ndims)
+            sh = jnp.tile(jnp.arange(ndims, dtype=jnp.uint32) * eb, g)
+            vals = ((rep >> sh) & jnp.uint32(mask)).astype(jnp.int32)
+        # previous row of each block's row 0 = preceding block's row 7
+        # (one cheap whole-array shift; everything else is full tiles)
+        p = vals[:, BLOCK_SZ - 1].reshape(c * g, ndims)
+        prev0 = jnp.concatenate(
+            [jnp.zeros((1, ndims), p.dtype), p[:-1]]).reshape(c, g * ndims)
+        prev = prev0
+        errs = []
+        for r in range(BLOCK_SZ):
+            cur = vals[:, r]
+            errs.append(zigzag_encode(sign_extend(cur - prev, eb), eb))
+            prev = cur
+        orm = errs[0]
+        for r in range(1, BLOCK_SZ):
+            orm = orm | errs[r]
+        widths_g = block_widths_lowdim(orm, elem_sz)  # (c, g*D)
+        dense_g = pack_dims_lowdim(
+            jnp.stack(errs, axis=1), widths_g, elem_sz)  # (c, g*D, EB)
+        dense = dense_g.reshape(c * g, ndims, 8 * elem_sz)[:nb]
+        widths = widths_g.reshape(c * g, ndims)[:nb]
+        hdr = header_value(widths, eb)
+        return widths, hdr, dense, widths.sum(axis=1)
+
     @functools.partial(
         jax.jit, static_argnames=("codec", "elem_sz", "lowdim"))
     def _encode_pass(rows: jnp.ndarray, codec: str, elem_sz: int,
                      lowdim: bool):
-        """Device pass: rows (N, D) int32 -> (errs, widths, hdr, dense, zero).
+        """Device pass: rows (N, D) int32 -> (widths, hdr, dense, wsums).
 
         N divisible by 8. Returns per-block arrays for all N//8 blocks.
         """
         eb = 8 * elem_sz
-        if (lowdim and codec == "delta" and LOWDIM_DMAJOR
+        if (lowdim and codec == "delta"
                 and rows.shape[1] * elem_sz in (1, 2, 4)):
-            return _encode_lowdim_dmajor(rows, elem_sz)
+            if LOWDIM_ENCODE == "grouped" and 128 % rows.shape[1] == 0:
+                return _encode_lowdim_grouped(rows, elem_sz)
+            if LOWDIM_ENCODE == "dmajor":
+                return _encode_lowdim_dmajor(rows, elem_sz)
         rows = rows.astype(jnp.int32)  # transferred narrow, computed wide
         if codec == "delta":
             errs = delta_encode(rows, eb)

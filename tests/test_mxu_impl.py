@@ -372,6 +372,35 @@ def test_runs_timeline_gather_identical(rng, ndims, elem_sz, lowdim, codec):
         jax.clear_caches()
 
 
+@pytest.mark.parametrize("ndims,elem_sz", [(1, 1), (2, 1), (4, 1), (1, 2),
+                                           (2, 2)])
+def test_grouped_encode_identical(rng, ndims, elem_sz):
+    """The grouped lowdim encode pass must emit byte-identical streams
+    to the legacy and dmajor formulations (runs + data mix)."""
+    from sprintz_tpu import encoder
+
+    dt = np.uint8 if elem_sz == 1 else np.uint16
+    lim = 6 if elem_sz == 1 else 600
+    n = 6000
+    seg = rng.integers(-lim, lim + 1, (n, ndims))
+    run_mask = (np.arange(n) // 64 % 3 == 0)[:, None]
+    x = (np.cumsum(np.where(run_mask, 0, seg), axis=0)
+         % (1 << (8 * elem_sz))).astype(dt).reshape(-1)
+    prev = encoder.LOWDIM_ENCODE
+    try:
+        outs = {}
+        for name in ("legacy", "dmajor", "grouped"):
+            encoder.LOWDIM_ENCODE = name
+            jax.clear_caches()
+            outs[name] = encoder.compress(x, ndims, codec="delta",
+                                          elem_sz=elem_sz)
+        assert outs["grouped"] == outs["legacy"]
+        assert outs["dmajor"] == outs["legacy"]
+    finally:
+        encoder.LOWDIM_ENCODE = prev
+        jax.clear_caches()
+
+
 def test_dmajor_decode_toggle_identical(rng):
     """Production lowdim decode must be identical with dmajor on/off."""
     from sprintz_tpu import decoder, encoder
