@@ -365,8 +365,12 @@ if _have_jax:
         prev delta / counter.
         """
         eb = 8 * elem_sz
-        if (lowdim and _lowdim_pass(codec, widths.shape[-1], elem_sz)
-                == "grouped"):
+        # The flat-scatter grouped runs path is explicit-opt-in only:
+        # session 14 measured it LOSING to legacy-unpack + block-gather
+        # on every runs-stream shape (d4u8 0.60 vs 0.68, d2u16 0.68 vs
+        # 0.97, d1u8 0.21 vs 1.19 GB/s), so "auto" routes runs streams
+        # through the gather timeline below.
+        if lowdim and LOWDIM_PASS == "grouped" and codec == "delta":
             vals, _ = _decode_lowdim_grouped_scatter(
                 dense, widths, out_block_rows, elem_sz, total_rows,
                 state=None if init_state is None else init_state[0])
@@ -374,11 +378,7 @@ if _have_jax:
         dense = dense.astype(jnp.int32)  # transferred as u8, computed wide
         widths = widths.astype(jnp.int32)
         if lowdim:
-            # the grouped unpack is codec-independent (xff runs streams
-            # land here); same full-tile layout win as the delta pass
-            if (LOWDIM_PASS == "grouped"
-                    or (LOWDIM_PASS == "auto"
-                        and 128 % widths.shape[-1] == 0)):
+            if LOWDIM_PASS == "grouped":  # unpack is codec-independent
                 from .ops.pack import unpack_dims_lowdim_grouped
                 errs = unpack_dims_lowdim_grouped(dense, widths)
             else:
