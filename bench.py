@@ -313,12 +313,43 @@ def main():
         extra_notes.append(
             f"delta/u8 lowdim d4 kernel: {raw2.nbytes / t2 / 1e9:.2f} GB/s")
 
+    def extra_runs(budget_s):
+        """RLE-heavy stream decode (1/3 rows in runs): exercises the
+        block-gather timeline (10.5 GB/s on device, session 15 — 2x
+        over the row scatter it replaced)."""
+        if time.perf_counter() - t_start > budget_s:
+            return
+        seg = rng.integers(-6, 7, (nrows, ndims))
+        m = (np.arange(nrows) // 256 % 3 == 0)[:, None]
+        raw2 = (np.cumsum(np.where(m, 0, seg), axis=0) % 256
+                ).astype(np.uint8)
+        s2 = encoder.compress(raw2.reshape(-1), ndims, codec="delta")
+        ng2, _, _ = read_metadata_rle(s2)
+        idx2 = decoder.walk_headers(s2, ng2, ndims, 1, lowdim=False)
+        d2 = decoder.gather_payloads(s2, idx2, ndims, 1, False)
+        rows_pad2 = next_bucket(int(idx2.total_rows))
+        nd2 = next_bucket(d2.shape[0])
+        orp = np.full(nd2, rows_pad2 + 8, dtype=np.int64)
+        orp[: d2.shape[0]] = idx2.out_rows
+        dj = jnp.asarray(pad_rows(d2, nd2))
+        wj = jnp.asarray(pad_rows(idx2.widths, nd2))
+        oj = jnp.asarray(orp, jnp.int32)
+
+        def kern(d, w, o):
+            return decoder._decode_pass.__wrapped__(
+                d, w, o, "delta", 1, False, rows_pad2)
+
+        t2 = devloop_time(kern, (dj, wj, oj), 32)
+        extra_notes.append(
+            f"delta/u8 runs-stream kernel: {raw2.nbytes / t2 / 1e9:.2f} GB/s")
+
     if os.environ.get("SPRINTZ_BENCH_EXTRAS", "1") != "0":
         extra_config("delta", 2, budget_s=300)
         extra_config("xff", 1, budget_s=420)
         extra_xff_parallel(budget_s=540)
         extra_encode_kernel(budget_s=660)
         extra_lowdim(budget_s=780)
+        extra_runs(budget_s=900)
     fire_note = "".join(n + " | " for n in extra_notes)
     if os.environ.get("SPRINTZ_BENCH_FIRE"):
         # context: FIRE decode throughput when streams batch in lanes
