@@ -1,9 +1,24 @@
 """sprintz-tpu tour: the main APIs in one script.
 
-Run: PYTHONPATH=.. python demo.py     (CPU is fine; TPU used if present)
+Run: python examples/demo.py          (CPU by default; set
+SPRINTZ_DEMO_TPU=1 to run on the accelerator — keep TPU access
+serialized, see CLAUDE.md)
 """
 
+import os
+import pathlib
+import sys
+
 import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+if not os.environ.get("SPRINTZ_DEMO_TPU"):
+    # The env var JAX_PLATFORMS is overridden by site customizations on
+    # some hosts; the in-process config update is authoritative.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import sprintz_tpu
 from sprintz_tpu import univariate
