@@ -109,6 +109,31 @@ def devloop_time(kernel, args, iters, vary=0, chain=False,
         n = min(1 << 16, n * 4)
 
 
+def _claim_device_with_retry():
+    """Return jax.devices()[0], re-execing to retry on relay UNAVAILABLE.
+
+    The axon relay intermittently refuses claims (observed outages from
+    minutes to hours); backend-init failure is cached per process, so a
+    retry must be a fresh process. Bounded so the driver's timeout is
+    respected: SPRINTZ_BENCH_RETRIES attempts (default 2), 120 s apart.
+    """
+    import jax
+
+    try:
+        return jax.devices()[0]
+    except RuntimeError as e:
+        if "UNAVAILABLE" not in str(e):
+            raise
+        done = int(os.environ.get("_SPRINTZ_BENCH_ATTEMPT", "0"))
+        if done >= int(os.environ.get("SPRINTZ_BENCH_RETRIES", "2")):
+            raise
+        print(f"bench: device claim UNAVAILABLE (attempt {done + 1}); "
+              "retrying in 120 s", file=sys.stderr)
+        time.sleep(120)
+        os.environ["_SPRINTZ_BENCH_ATTEMPT"] = str(done + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -118,7 +143,7 @@ def main():
     from sprintz_tpu.models.forecasters import fire_decode
     from sprintz_tpu.utils.shapes import next_bucket, pad_rows
 
-    dev = jax.devices()[0]
+    dev = _claim_device_with_retry()
     print(f"bench device: {dev}", file=sys.stderr)
 
     # process-level warmup: the first program on this backend pays a
