@@ -76,6 +76,14 @@ LOWDIM_PASS = os.environ.get("SPRINTZ_LOWDIM_PASS", "auto")
 # scatter, measured 5.0 GB/s d64 u8 = ~100% of runs-decode wall time).
 RUNS_TIMELINE = os.environ.get("SPRINTZ_RUNS_TIMELINE", "gather")
 
+# Dense-buffer width bucketing on the rowmajor decode path ("pow2" or
+# "mult8"). The unpack weight tensor (c, D, maxb) scales with maxb and
+# dominates the headline pass's HBM traffic (docs/STATUS.md), but pow2
+# rounds the headline stream's rb_max ~ 40 bytes straight back to 64 —
+# no effective shrink. mult8 buckets to multiples of 8 (more jit
+# variants, up to 1.6x smaller weights). Device A/B: session 21.
+MAXB_BUCKET = os.environ.get("SPRINTZ_MAXB_BUCKET", "pow2")
+
 
 def _lowdim_pass(codec: str, ndims: int, elem_sz: int) -> str:
     """Which fused lowdim delta pass applies (falls back to legacy)."""
@@ -659,7 +667,11 @@ def gather_payloads(buf: bytes, idx: StreamIndex, ndims: int, elem_sz: int,
         maxb = ndims * elem_sz
         if ndata:
             rb_max = int((idx.widths.sum(axis=1).max() + 7) // 8)
-            maxb = min(maxb, next_bucket(max(rb_max, 1), minimum=8))
+            if MAXB_BUCKET == "mult8":
+                bucket = max((rb_max + 7) // 8 * 8, 8)
+            else:
+                bucket = next_bucket(max(rb_max, 1), minimum=8)
+            maxb = min(maxb, bucket)
         dense = np.zeros((ndata, BLOCK_SZ, maxb), dtype=np.uint8)
         if ndata == 0:
             return dense

@@ -77,6 +77,23 @@ def test_decompress_batch(rng):
             got, decoder.decompress(buf, codec="xff", elem_sz=1))
 
 
+def test_maxb_bucket_mult8_matches(rng, monkeypatch):
+    """SPRINTZ_MAXB_BUCKET=mult8 sizes the dense unpack buffer to the
+    next multiple of 8 above the stream's max row bytes (vs pow2);
+    decode must be unchanged for every codec/layout it touches."""
+    monkeypatch.setattr(decoder, "MAXB_BUCKET", "mult8")
+    for codec, D, kind in [("delta", 40, "rand"), ("xff", 40, "small"),
+                           ("delta", 40, "sparse"), ("delta", 9, "rand")]:
+        x = make_stream(rng, 1000 * D, 1, kind)
+        buf = encoder.compress(x, D, codec=codec)
+        out = decoder.decompress(buf, codec=codec, elem_sz=1)
+        np.testing.assert_array_equal(out, x)
+    x16 = make_stream(rng, 600 * 24, 2, "rand")
+    buf = encoder.compress(x16, 24, codec="delta")
+    out = decoder.decompress(buf, codec="delta", elem_sz=2)
+    np.testing.assert_array_equal(out, x16)
+
+
 def test_grouped_decode_optin_matches(rng, monkeypatch):
     """SPRINTZ_GROUPED_DECODE=1 routes runs-containing rowmajor streams
     through the width-signature-grouped pass; output must match the
