@@ -42,6 +42,21 @@ def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def _gather(x) -> np.ndarray:
+    """Sharded device output -> full numpy array on every process.
+
+    Single-process: plain np.asarray. Multi-process (jax.distributed):
+    the shards living on other hosts are not addressable locally, so an
+    explicit cross-process all-gather assembles the global value — this
+    is the "ordered gather" half of the north-star collective plan
+    (SURVEY §2.10); on a TPU pod it rides ICI/DCN.
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 # ----------------------------------------------------------- FIRE chain
 
 
@@ -132,7 +147,9 @@ def dp_encode(mesh: Mesh, rows: np.ndarray, elem_sz: int, codec: str = "delta"):
     """
     n_dev = mesh.devices.size
     fn = shard_map_encode(mesh, elem_sz, codec)
-    return fn(jnp.asarray(rows, jnp.int32))
+    # numpy in: jit device_puts each process's addressable shards directly,
+    # which works unchanged under multi-process meshes (host-replicated data)
+    return fn(np.asarray(rows, np.int32))
 
 
 @functools.lru_cache(maxsize=None)
@@ -187,7 +204,7 @@ def dp_delta_decode(mesh: Mesh, dense: np.ndarray, widths: np.ndarray,
                     elem_sz: int):
     """Block-parallel delta decode: local unpack+cumsum, ICI prefix fixup."""
     fn = _shard_map_decode_cached(mesh, elem_sz)
-    return fn(jnp.asarray(dense, jnp.int32), jnp.asarray(widths, jnp.int32))
+    return fn(np.asarray(dense, np.int32), np.asarray(widths, np.int32))
 
 
 def _shard_fire_decode(dense: jnp.ndarray, widths: jnp.ndarray,
@@ -211,7 +228,7 @@ def dp_fire_decode(mesh: Mesh, dense: np.ndarray, widths: np.ndarray,
                    elem_sz: int):
     """Block-parallel unpack + serial-chain FIRE reconstruction."""
     fn = _shard_map_fire_decode_cached(mesh, elem_sz)
-    return fn(jnp.asarray(dense, jnp.int32), jnp.asarray(widths, jnp.int32))
+    return fn(np.asarray(dense, np.int32), np.asarray(widths, np.int32))
 
 
 # ------------------------------------------------- decode from stream bytes
@@ -291,8 +308,8 @@ def dp_decompress(mesh: Mesh, buf: bytes, codec: str = "delta",
         dense_p[:ndata] = dense
         widths_p = np.zeros((nb_pad, ndims), np.int32)
         widths_p[:ndata] = idx.widths
-        errs = np.asarray(_shard_map_unpack_cached(mesh)(
-            jnp.asarray(dense_p, jnp.int32), jnp.asarray(widths_p)))
+        errs = _gather(_shard_map_unpack_cached(mesh)(
+            np.asarray(dense_p, np.int32), widths_p))
 
         # phase 2: timeline scatter (host) + row-sharded reconstruction
         rows_pad = -(-idx.total_rows // (n_dev * BLOCK_SZ)) * n_dev * BLOCK_SZ
@@ -300,8 +317,7 @@ def dp_decompress(mesh: Mesh, buf: bytes, codec: str = "delta",
         row_idx = (idx.out_rows[:, None] + np.arange(BLOCK_SZ)[None, :]
                    ).reshape(-1)
         full[row_idx] = errs[:ndata].reshape(ndata * BLOCK_SZ, ndims)
-        vals = np.asarray(_shard_map_rows_cached(mesh, elem_sz, codec)(
-            jnp.asarray(full)))
+        vals = _gather(_shard_map_rows_cached(mesh, elem_sz, codec)(full))
         body = vals[: idx.total_rows].astype(udt)
 
     tail = np.frombuffer(buf, dtype=udt, count=remaining_len,
@@ -347,9 +363,9 @@ def dp_compress(mesh: Mesh, flat: np.ndarray, ndims: int,
 
     dense, widths, hdr, sizes, offsets = dp_encode(
         mesh, rows, elem_sz, codec)
-    widths_np = np.asarray(widths)
-    hdr_np = np.asarray(hdr).astype(np.uint8)
-    dense_np = np.asarray(dense)
+    widths_np = _gather(widths)
+    hdr_np = _gather(hdr).astype(np.uint8)
+    dense_np = _gather(dense)
     zero_flags = np.asarray(widths_np.sum(axis=1) == 0)[:nb_max]
 
     plan = build_plan(zero_flags, n, ndims, codec == "xff")
