@@ -353,6 +353,14 @@ int64_t sprintz_huff_decode(
 // device outputs. Mirrors sprintz_tpu/encoder.py:assemble_stream (shared
 // tests assert byte equality). Returns total bytes written, or -1 if
 // out_cap would be exceeded.
+//
+// Two-pass design so emission parallelizes: pass 1 computes every
+// group's byte size (cheap prefix bookkeeping, like build_plan), pass 2
+// emits groups into their now-known disjoint output ranges, threaded
+// over group ranges. Groups — not slots — are the parallel unit because
+// the two blocks of a group share header BYTES (their 3/4-bit fields
+// are bit-packed back to back, format §2.2), so per-slot threads would
+// race on the boundary byte.
 extern "C" int64_t sprintz_assemble_stream(
     const int8_t* kinds, const int32_t* values, int64_t nslots,
     int64_t ngroups, int64_t remaining_elems,
@@ -376,71 +384,132 @@ extern "C" int64_t sprintz_assemble_stream(
   out[5] = (uint8_t)(remaining_elems >> 8);
   out[6] = (uint8_t)(ndims);
   out[7] = (uint8_t)(ndims >> 8);
-  int64_t pos = 8;
 
-  uint8_t* hdr_dest = nullptr;
-  int64_t hdr_bitpos = 0;
+  // ---- pass 1: per-slot payload sizes -> per-group output offsets
+  const int64_t ng = (nslots + kGroupSzBlocks - 1) / kGroupSzBlocks;
+  std::vector<int64_t> slot_size(nslots);
   for (int64_t s = 0; s < nslots; s++) {
-    if (s % kGroupSzBlocks == 0) {  // new group: header region
-      if (pos + total_header_bytes > out_cap) return -1;
-      hdr_dest = out + pos;
-      memset(hdr_dest, 0, total_header_bytes);
-      pos += total_header_bytes;
-      hdr_bitpos = 0;
-    }
     const int8_t kind = kinds[s];
     if (kind == kKindData) {
-      const int64_t b = values[s];
-      const uint8_t* hv = hdrvals + b * ndims;
-      for (int d = 0; d < ndims; d++) {
-        const int64_t bp = hdr_bitpos + (int64_t)d * hdr_bits;
-        // 3/4-bit fields span at most 2 bytes
-        uint32_t two = (uint32_t)hdr_dest[bp >> 3] |
-                       ((uint32_t)hdr_dest[(bp >> 3) + 1] << 8);
-        two |= (uint32_t)hv[d] << (bp & 7);
-        hdr_dest[bp >> 3] = (uint8_t)two;
-        hdr_dest[(bp >> 3) + 1] = (uint8_t)(two >> 8);
-      }
-      const int32_t* w = widths + b * ndims;
-      if (lowdim) {
-        const uint8_t* src = dense + b * ndims * maxb;
-        for (int d = 0; d < ndims; d++) {
-          const int32_t n = w[d];
-          if (pos + n > out_cap) return -1;
-          memcpy(out + pos, src + (int64_t)d * maxb, n);
-          pos += n;
-        }
-      } else {
-        int64_t wsum = 0;
-        for (int d = 0; d < ndims; d++) wsum += w[d];
-        const int64_t rb = (wsum + 7) / 8;
-        const uint8_t* src = dense + b * kBlockSz * maxb;
-        if (pos + rb * kBlockSz > out_cap) return -1;
-        for (int r = 0; r < kBlockSz; r++) {
-          memcpy(out + pos, src + (int64_t)r * maxb, rb);
-          pos += rb;
-        }
-      }
+      const int32_t* w = widths + (int64_t)values[s] * ndims;
+      int64_t wsum = 0;
+      for (int d = 0; d < ndims; d++) wsum += w[d];
+      slot_size[s] = lowdim ? wsum : (int64_t)kBlockSz * ((wsum + 7) / 8);
     } else if (kind == kKindRun) {
-      const int32_t run = values[s];
-      if (pos + 2 > out_cap) return -1;
-      if (run > 0x7f) {
-        out[pos++] = (uint8_t)((run & 0x7f) | 0x80);
-        out[pos++] = (uint8_t)(run >> 7);
-      } else {
-        out[pos++] = (uint8_t)(run & 0x7f);
-      }
-      hdr_bitpos += (int64_t)ndims * hdr_bits;
-      continue;
+      slot_size[s] = values[s] > 0x7f ? 2 : 1;
     } else {  // kKindRun0 padding byte
-      if (pos + 1 > out_cap) return -1;
-      out[pos++] = 0;
-      hdr_bitpos += (int64_t)ndims * hdr_bits;
-      continue;
+      slot_size[s] = 1;
     }
-    hdr_bitpos += (int64_t)ndims * hdr_bits;
   }
+  std::vector<int64_t> group_off(ng + 1);
+  int64_t pos = 8;
+  for (int64_t g = 0; g < ng; g++) {
+    group_off[g] = pos;
+    pos += total_header_bytes;
+    const int64_t s1 = std::min(nslots, (g + 1) * kGroupSzBlocks);
+    for (int64_t s = g * kGroupSzBlocks; s < s1; s++) pos += slot_size[s];
+  }
+  group_off[ng] = pos;
   if (pos + tail_nbytes > out_cap) return -1;
+
+  // ---- pass 2: emit groups into their disjoint ranges
+  auto emit_groups = [&](int64_t g0, int64_t g1) {
+    for (int64_t g = g0; g < g1; g++) {
+      // header region: streaming LSB-first bit writer (word-at-a-time
+      // flush) — run slots contribute ndims zero fields
+      uint8_t* hd = out + group_off[g];
+      const int64_t s1 = std::min(nslots, (g + 1) * kGroupSzBlocks);
+      {
+        uint64_t acc = 0;
+        int nbits = 0;
+        int64_t hp = 0;
+        for (int64_t s = g * kGroupSzBlocks; s < s1; s++) {
+          if (kinds[s] == kKindData) {
+            const uint8_t* hv = hdrvals + (int64_t)values[s] * ndims;
+            for (int d = 0; d < ndims; d++) {
+              acc |= (uint64_t)hv[d] << nbits;
+              nbits += hdr_bits;
+              if (nbits >= 32) {
+                memcpy(hd + hp, &acc, 4);
+                hp += 4;
+                acc >>= 32;
+                nbits -= 32;
+              }
+            }
+          } else {  // run/run0: zero header fields just advance the bitpos
+            int64_t z = (int64_t)ndims * hdr_bits;
+            while (z > 0) {
+              const int take = (int)std::min<int64_t>(z, 32 - nbits);
+              nbits += take;
+              z -= take;
+              if (nbits >= 32) {
+                memcpy(hd + hp, &acc, 4);
+                hp += 4;
+                acc >>= 32;
+                nbits -= 32;
+              }
+            }
+          }
+        }
+        while (nbits > 0) {  // partial-group headers are still full-width
+          hd[hp++] = (uint8_t)acc;
+          acc >>= 8;
+          nbits -= 8;
+        }
+        if (hp < total_header_bytes)  // defensive: partial group
+          memset(hd + hp, 0, total_header_bytes - hp);
+      }
+      int64_t p = group_off[g] + total_header_bytes;
+      for (int64_t s = g * kGroupSzBlocks; s < s1; s++) {
+        const int8_t kind = kinds[s];
+        if (kind == kKindData) {
+          const int64_t b = values[s];
+          const int32_t* w = widths + b * ndims;
+          if (lowdim) {
+            const uint8_t* src = dense + b * ndims * maxb;
+            for (int d = 0; d < ndims; d++) {
+              memcpy(out + p, src + (int64_t)d * maxb, w[d]);
+              p += w[d];
+            }
+          } else {
+            const int64_t rb = slot_size[s] / kBlockSz;
+            const uint8_t* src = dense + b * kBlockSz * maxb;
+            for (int r = 0; r < kBlockSz; r++) {
+              memcpy(out + p, src + (int64_t)r * maxb, rb);
+              p += rb;
+            }
+          }
+        } else if (kind == kKindRun) {
+          const int32_t run = values[s];
+          if (run > 0x7f) {
+            out[p++] = (uint8_t)((run & 0x7f) | 0x80);
+            out[p++] = (uint8_t)(run >> 7);
+          } else {
+            out[p++] = (uint8_t)(run & 0x7f);
+          }
+        } else {  // kKindRun0 padding byte
+          out[p++] = 0;
+        }
+      }
+    }
+  };
+
+  int nthreads = (int)std::thread::hardware_concurrency();
+  nthreads = std::max(1, std::min({nthreads, 16, (int)(ng / 64)}));
+  if (nthreads <= 1 || pos < (1 << 19)) {
+    emit_groups(0, ng);
+  } else {
+    std::vector<std::thread> threads;
+    const int64_t per = (ng + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; t++) {
+      const int64_t g0 = t * per;
+      const int64_t g1 = std::min(ng, g0 + per);
+      if (g0 >= g1) break;
+      threads.emplace_back([&emit_groups, g0, g1] { emit_groups(g0, g1); });
+    }
+    for (auto& th : threads) th.join();
+  }
+
   memcpy(out + pos, tail, tail_nbytes);
   return pos + tail_nbytes;
 }
