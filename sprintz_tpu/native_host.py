@@ -35,14 +35,20 @@ def _build() -> ctypes.CDLL | None:
     cache.mkdir(parents=True, exist_ok=True)
     so = cache / f"sprintz_host_{tag}.so"
     if not so.exists():
-        tmp = so.with_suffix(".tmp.so")
+        # per-process tmp name: concurrent builders (e.g. xdist workers)
+        # must not share an output path or one replaces the other's
+        # half-written object
+        tmp = so.with_suffix(f".tmp{os.getpid()}.so")
         cmd = ["g++", "-std=c++17", "-O3", "-fPIC", "-shared", "-pthread",
                str(_SRC), "-o", str(tmp)]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            os.replace(tmp, so)
         except Exception:
-            return None
-        os.replace(tmp, so)
+            if not so.exists():  # a racing builder may have won
+                return None
+        finally:
+            tmp.unlink(missing_ok=True)
     try:
         return ctypes.CDLL(str(so))
     except OSError:
