@@ -262,7 +262,7 @@ def main():
         raw2 = (np.cumsum(rng.integers(-6, 7, (nrows, ndims)), axis=0)
                 % 256).astype(np.uint8)
         s2, sc = checkpoint.compress_with_sidecar(
-            raw2.reshape(-1), ndims, codec="xff", every_groups=64)
+            raw2.reshape(-1), ndims, codec="xff", every_groups=16)
         ng2, _, _ = read_metadata_rle(s2)
         idx2 = decoder.walk_headers(s2, ng2, ndims, 1, lowdim=False)
         d2 = decoder.gather_payloads(s2, idx2, ndims, 1, False)

@@ -94,7 +94,7 @@ class SprintzCodec:
         return _golden_rowmajor.compress_rowmajor_rle(flat, ndims, codec=self.codec)
 
     def compress_seekable(self, data: np.ndarray, ndims: int | None = None,
-                          every_groups: int = 64):
+                          every_groups: int = 16):
         """Compress + build a checkpoint sidecar (checkpoint.py).
 
         Returns (stream, sidecar). The stream is byte-identical to

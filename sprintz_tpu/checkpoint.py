@@ -71,9 +71,16 @@ def compress_with_sidecar(
     flat: np.ndarray,
     ndims: int,
     codec: str = "delta",
-    every_groups: int = 64,
+    every_groups: int = 16,
 ) -> tuple[bytes, Sidecar]:
-    """Encode (byte-exact reference stream) + build a checkpoint sidecar."""
+    """Encode (byte-exact reference stream) + build a checkpoint sidecar.
+
+    ``every_groups=16`` keeps the chunk-parallel decode's per-chunk block
+    count at 32 (fully covered by one unrolled FIRE scan step): the
+    interleaved device A/B measured 18.6 vs 10.7 GB/s (8 MiB) and 11.5
+    vs 7.7 GB/s (32 MiB) against the old default 64 (STATUS.md session
+    23). Sidecar overhead at 16 is ~0.9% of an 8 MiB u8 d64 stream.
+    """
     import jax.numpy as jnp
 
     from . import encoder
