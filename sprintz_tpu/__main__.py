@@ -10,13 +10,19 @@ usable without writing Python:
     python -m sprintz_tpu info       out.spz
     python -m sprintz_tpu query      out.spz --op sum
 
-Container format: compressed files carry a 6-byte self-describing header
-(magic ``SPZT1`` + one flags byte encoding codec/elem-size/entropy) in
+Container format v2 (``SPZT2``): magic + one flags byte (codec 2 bits,
+elem-size 1 bit, entropy 2 bits, has-sidecar 1 bit) + an optional
+checkpoint sidecar section (u32 length + checkpoint.Sidecar bytes) in
 front of the reference-exact Sprintz stream, because the reference stream
 metadata (format.h:35-45 analogue, golden/stream.py:46-61) records ndims
-but not element size, forecaster, or entropy stage. ``--raw`` on both
-sides skips the container and reads/writes the byte-exact reference
-stream instead (then decompress/info/query need --codec/--dtype flags).
+but not element size, forecaster, or entropy stage. The sidecar (emitted
+by default for xff streams) is what lets decompression run chunk-parallel
+— the TPU realization of the reference's unused ``jump()``
+(online.hpp:126-132). v1 (``SPZT1``) containers still read. ``--raw`` on
+both sides skips the container and reads/writes the byte-exact reference
+stream instead (then decompress/info/query need --codec/--dtype flags;
+with --entropy huffman the raw file is this framework's +Huf wrapper
+around the reference stream, not itself reference-decodable).
 """
 
 from __future__ import annotations
@@ -26,32 +32,55 @@ import sys
 
 import numpy as np
 
-MAGIC = b"SPZT1"
+MAGIC = b"SPZT2"
+MAGIC_V1 = b"SPZT1"
 _CODECS = ["delta", "xff"]
 _DTYPES = {"u8": 1, "u16": 2}
 _ENTROPY = ["none", "huffman"]
+_F_SIDECAR = 1 << 5
 
 
-def _pack_flags(codec: str, elem_sz: int, entropy: str) -> bytes:
-    b = _CODECS.index(codec) | ((elem_sz - 1) << 1) | (
-        _ENTROPY.index(entropy) << 2)
-    return bytes([b])
+def _pack_flags(codec: str, elem_sz: int, entropy: str,
+                has_sidecar: bool = False) -> bytes:
+    ci, ei = _CODECS.index(codec), _ENTROPY.index(entropy)
+    # each field must fit its width so a future addition fails loudly
+    # instead of silently corrupting the neighbouring field (ADVICE r2)
+    assert 0 <= ci <= 3, f"codec index {ci} exceeds its 2-bit field"
+    assert elem_sz in (1, 2), f"elem_sz {elem_sz} exceeds its 1-bit field"
+    assert 0 <= ei <= 3, f"entropy index {ei} exceeds its 2-bit field"
+    b = ci | ((elem_sz - 1) << 2) | (ei << 3)
+    return bytes([b | (_F_SIDECAR if has_sidecar else 0)])
 
 
-def _unpack_flags(b: int) -> tuple[str, int, str]:
-    return _CODECS[b & 1], ((b >> 1) & 1) + 1, _ENTROPY[(b >> 2) & 1]
+def _unpack_flags(b: int) -> tuple[str, int, str, bool]:
+    return (_CODECS[b & 3], ((b >> 2) & 1) + 1, _ENTROPY[(b >> 3) & 3],
+            bool(b & _F_SIDECAR))
 
 
-def _read_container(buf: bytes, args) -> tuple[bytes, str, int, str]:
-    """Return (stream, codec, elem_sz, entropy) from container or flags."""
+def _read_container(buf: bytes, args):
+    """Return (stream, codec, elem_sz, entropy, sidecar) from the
+    container (v2 or v1) or from the --codec/--dtype/--entropy flags."""
     if not args.raw and buf[:5] == MAGIC:
-        codec, elem_sz, entropy = _unpack_flags(buf[5])
-        return buf[6:], codec, elem_sz, entropy
+        codec, elem_sz, entropy, has_sc = _unpack_flags(buf[5])
+        pos = 6
+        sc = None
+        if has_sc:
+            sc_len = int(np.frombuffer(buf, np.uint32, 1, offset=pos)[0])
+            pos += 4
+            from .checkpoint import Sidecar
+
+            sc = Sidecar.from_bytes(buf[pos : pos + sc_len])
+            pos += sc_len
+        return buf[pos:], codec, elem_sz, entropy, sc
+    if not args.raw and buf[:5] == MAGIC_V1:
+        b = buf[5]  # v1 layout: 1-bit codec / elem / entropy fields
+        return (buf[6:], _CODECS[b & 1], ((b >> 1) & 1) + 1,
+                _ENTROPY[(b >> 2) & 1], None)
     if not args.raw:
-        print("note: no SPZT1 container header; treating input as a raw "
+        print("note: no SPZT container header; treating input as a raw "
               "reference stream (honoring --codec/--dtype/--entropy)",
               file=sys.stderr)
-    return buf, args.codec, _DTYPES[args.dtype], args.entropy
+    return buf, args.codec, _DTYPES[args.dtype], args.entropy, None
 
 
 def _cmd_compress(args) -> int:
@@ -65,9 +94,22 @@ def _cmd_compress(args) -> int:
               f"--ndims {args.ndims}", file=sys.stderr)
         return 2
     codec = SprintzCodec(args.codec, elem_sz, entropy=args.entropy)
-    stream = codec.compress(data, ndims=args.ndims)
-    out = stream if args.raw else (
-        MAGIC + _pack_flags(args.codec, elem_sz, args.entropy) + stream)
+    # xff decode is a serial per-column recurrence without checkpoints,
+    # so xff containers carry a sidecar by default (chunk-parallel decode;
+    # VERDICT r2 item 2). "auto" skips it for tiny inputs and raw output.
+    want_sc = not args.raw and (
+        args.sidecar == "always"
+        or (args.sidecar == "auto" and args.codec == "xff"
+            and data.nbytes >= (16 << 10)))
+    if want_sc:
+        stream, sc = codec.compress_seekable(data, ndims=args.ndims)
+        sc_bytes = sc.to_bytes()
+        out = (MAGIC + _pack_flags(args.codec, elem_sz, args.entropy, True)
+               + np.uint32(len(sc_bytes)).tobytes() + sc_bytes + stream)
+    else:
+        stream = codec.compress(data, ndims=args.ndims)
+        out = stream if args.raw else (
+            MAGIC + _pack_flags(args.codec, elem_sz, args.entropy) + stream)
     with open(args.outfile, "wb") as f:
         f.write(out)
     print(f"{data.nbytes} -> {len(out)} bytes "
@@ -80,9 +122,9 @@ def _cmd_decompress(args) -> int:
 
     with open(args.infile, "rb") as f:
         buf = f.read()
-    stream, codec_name, elem_sz, entropy = _read_container(buf, args)
+    stream, codec_name, elem_sz, entropy, sc = _read_container(buf, args)
     codec = SprintzCodec(codec_name, elem_sz, entropy=entropy)
-    out = codec.decompress(stream)
+    out = codec.decompress(stream, sidecar=sc)
     np.asarray(out).tofile(args.outfile)
     print(f"{len(buf)} -> {np.asarray(out).nbytes} bytes", file=sys.stderr)
     return 0
@@ -94,7 +136,7 @@ def _cmd_info(args) -> int:
 
     with open(args.infile, "rb") as f:
         buf = f.read()
-    stream, codec_name, elem_sz, entropy = _read_container(buf, args)
+    stream, codec_name, elem_sz, entropy, sc = _read_container(buf, args)
     if entropy == "huffman":
         from .entropy import huff_decompress
 
@@ -104,6 +146,9 @@ def _cmd_info(args) -> int:
     print(f"codec:     {codec_name}")
     print(f"dtype:     uint{8 * elem_sz}")
     print(f"entropy:   {entropy}")
+    if sc is not None:
+        print(f"sidecar:   {len(sc.byte_offsets)} checkpoints "
+              f"(every {sc.every_groups} groups)")
     print(f"ndims:     {ndims}")
     print(f"ngroups:   {ngroups}")
     print(f"remaining: {remaining} elements (verbatim tail)")
@@ -121,7 +166,7 @@ def _cmd_query(args) -> int:
 
     with open(args.infile, "rb") as f:
         buf = f.read()
-    stream, codec_name, elem_sz, entropy = _read_container(buf, args)
+    stream, codec_name, elem_sz, entropy, _sc = _read_container(buf, args)
     if entropy == "huffman":
         from .entropy import huff_decompress
 
@@ -168,7 +213,14 @@ def main(argv=None) -> int:
     p.add_argument("--dtype", choices=sorted(_DTYPES), default="u8")
     p.add_argument("--entropy", choices=_ENTROPY, default="none")
     p.add_argument("--raw", action="store_true",
-                   help="emit the bare reference-exact stream (no container)")
+                   help="emit the bare stream with no container "
+                        "(reference-exact when --entropy none; with "
+                        "--entropy huffman it is this framework's +Huf "
+                        "wrapper, which the reference cannot decode)")
+    p.add_argument("--sidecar", choices=["auto", "always", "never"],
+                   default="auto",
+                   help="embed a checkpoint sidecar for chunk-parallel "
+                        "decode (auto = xff streams >= 16 KiB)")
     p.set_defaults(fn=_cmd_compress)
 
     p = sub.add_parser("decompress", help="decompress to a raw binary file",

@@ -45,9 +45,9 @@ def main():
     iters = 2 if SMOKE else 32
     reps = 1 if SMOKE else 3
 
-    def build(nrows, every):
-        raw = (np.cumsum(rng.integers(-6, 7, (nrows, D)), axis=0) % 256
-               ).astype(np.uint8)
+    def build(raw, every):
+        # raw is shared between the A and B arms (same data, same widths,
+        # same nb_pad) so the arms differ ONLY in chunking (ADVICE r2)
         s, sc = checkpoint.compress_with_sidecar(
             raw.reshape(-1), D, codec="xff", every_groups=every)
         ng, _, _ = read_metadata_rle(s)
@@ -79,13 +79,15 @@ def main():
         out = np.asarray(kern(jnp.asarray(dense_c), jnp.asarray(widths_c),
                               jnp.asarray(states)))
         ok = np.array_equal(out.reshape(-1)[: raw.size], raw.reshape(-1))
-        assert ok, (nrows, every)
+        assert ok, (raw.shape, every)
         return (kern, (jnp.asarray(dense_c), jnp.asarray(widths_c),
                        jnp.asarray(states)), raw.nbytes, C, nb_pad)
 
     for nrows in ([1 << 12] if SMOKE else [1 << 17, 1 << 19]):
         mib = nrows * D >> 20
-        cfgs = {e: build(nrows, e) for e in (64, 16)}
+        raw = (np.cumsum(rng.integers(-6, 7, (nrows, D)), axis=0) % 256
+               ).astype(np.uint8)
+        cfgs = {e: build(raw, e) for e in (64, 16)}
         print(f"{mib} MiB u8 d64 (interleaved reps):", flush=True)
         for rep in range(reps):
             for every, (kern, args, nbytes, C, nb_pad) in cfgs.items():
