@@ -368,6 +368,43 @@ def main():
         extra_notes.append(
             f"delta/u8 runs-stream kernel: {raw2.nbytes / t2 / 1e9:.2f} GB/s")
 
+    def extra_huffman(budget_s):
+        """Chunk-parallel device Huffman decode + encode kernels (the
+        paper's +Huf stage, communicate/method.tex:300-303). Throughput
+        in SYMBOL bytes (the coder's uncompressed side). Chunk size is
+        the decode-speed knob (refill traffic scales with it)."""
+        if time.perf_counter() - t_start > budget_s:
+            return
+        from sprintz_tpu.entropy import huffman as hf
+        from sprintz_tpu.utils.shapes import next_bucket as nb_
+
+        cs = int(os.environ.get("SPRINTZ_BENCH_HUFF_CHUNK", "128"))
+        payload = np.frombuffer(stream, np.uint8)
+        comp = hf.huff_compress(payload, chunk_symbols=cs)
+        words, tables, _, nchunks, nsym = hf.device_decode_prep(comp)
+        tj = [jnp.asarray(x) for x in tables]
+        wj = jnp.asarray(words)
+        dec = hf.get_decode_device()
+
+        def kern(w, a, b, c):
+            return dec(w, a, b, c, cs)
+
+        t2 = devloop_time(kern, (wj, tj[0], tj[1], tj[2]), 8)
+        extra_notes.append(
+            f"huff-dec kernel (cs={cs}): {nsym / t2 / 1e9:.2f} GB/s")
+        # encode: device lookup + append-scan pass (host assembly apart,
+        # mirroring the sprintz encode-kernel metric above)
+        t = hf.build_table(payload)
+        nch = max(1, -(-nsym // cs))
+        syms = np.full((nb_(nch, 8), cs), 256, np.int32)
+        syms.reshape(-1)[:nsym] = payload
+        enc = hf.get_encode_device()
+        t3 = devloop_time(
+            enc, (jnp.asarray(syms),
+                  jnp.asarray(hf.encode_lut_packed(t))), 8)
+        extra_notes.append(
+            f"huff-enc kernel (cs={cs}): {nsym / t3 / 1e9:.2f} GB/s")
+
     if os.environ.get("SPRINTZ_BENCH_EXTRAS", "1") != "0":
         extra_config("delta", 2, budget_s=300)
         extra_config("xff", 1, budget_s=420)
@@ -375,6 +412,7 @@ def main():
         extra_encode_kernel(budget_s=660)
         extra_lowdim(budget_s=780)
         extra_runs(budget_s=900)
+        extra_huffman(budget_s=1020)
     fire_note = "".join(n + " | " for n in extra_notes)
     if os.environ.get("SPRINTZ_BENCH_FIRE"):
         # context: FIRE decode throughput when streams batch in lanes

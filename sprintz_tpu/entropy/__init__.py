@@ -10,5 +10,6 @@ from .huffman import (  # noqa: F401
     HuffmanTable,
     build_table,
     huff_compress,
+    huff_compress_device,
     huff_decompress,
 )

@@ -9,27 +9,46 @@ communicate/method.tex:300-303) with a TPU-native design:
 - **Encode**: vectorized — per-symbol (code, length) LUTs, bit offsets by
   prefix sum, emission via LSB-first bit expansion + packbits. Symbols are
   grouped into independent chunks.
-- **Decode**: table-driven and *chunk-parallel*: a 4096-entry
-  (peek12 -> symbol, length) LUT; a lax.scan advances every chunk's bit
-  cursor one symbol per step, so lanes = chunks and steps = symbols/chunk
-  — the "serial Huffman becomes table-driven parallel decode" requirement
-  of the north star. A numpy fallback decodes chunk-sequentially.
+- **Decode**: chunk-parallel, lanes = chunks, a lax.scan advancing every
+  chunk's bit cursor TWO symbols per step — the "serial Huffman becomes
+  table-driven parallel decode" requirement of the north star. The device
+  formulation is gather-free (CLAUDE.md: per-lane indexed gathers
+  scalarize on TPU — the round-2 LUT scan measured 1.3 MB/s):
+    * refill: one branchless select-accumulate over the chunk's u32
+      payload words per step (the only O(W) term, so decode cost scales
+      with chunk_symbols — small chunks are the device sweet spot),
+    * code length: bit-reverse the 12-bit peek and compare against the 11
+      canonical level boundaries (no 4096-entry LUT),
+    * symbol: the scan emits canonical symbol *indices*; the index ->
+      symbol permutation runs afterwards in bulk as an exact-bf16
+      nibble-split one-hot matmul on the MXU (ops/pack.py's trick).
+  The native C++ loop serves host-only processes; a numpy fallback
+  decodes chunk-vectorized.
 
 Stream layout (this framework's own; the reference has no in-repo format):
-  [u32 n_symbols][u32 chunk_symbols][u32 nchunks][128B lengths table]
-  [u32 payload_nbytes per chunk][chunk payloads...]
+  v2: [u32 n_symbols][u16 chunk_symbols][u16 flags][u32 nchunks]
+      [128B lengths table][u16 (flags&2) or u32 payload_nbytes per chunk]
+      [chunk payloads...]
+  v1 (round 2, still read): [u32 n][u32 chunk_symbols][u32 nchunks]
+      [128B lengths table][u32 sizes][payloads...]  — detected by
+      flags == 0 (v1's chunk_symbols high half, always 0 below 65536).
 """
 
 from __future__ import annotations
 
 import dataclasses
 import heapq
+import os
 
 import numpy as np
 
 MAX_CODE_LEN = 12
-# smaller chunks = more decode lanes and fewer sequential steps
-DEFAULT_CHUNK_SYMBOLS = 1 << 12
+# Smaller chunks = more decode lanes, fewer sequential steps, AND less
+# per-step refill traffic on the device path (it reads the chunk's word
+# buffer once per 2 symbols). Size overhead is 2 bytes per chunk.
+DEFAULT_CHUNK_SYMBOLS = int(os.environ.get("SPRINTZ_HUFF_CHUNK", 1 << 12))
+_FLAG_V2 = 1
+_FLAG_SIZES_U16 = 2
 
 
 @dataclasses.dataclass
@@ -52,6 +71,43 @@ class HuffmanTable:
                 sym[fill] = s
                 ln[fill] = L
         return sym, ln
+
+    def canonical_tables(self):
+        """Tables for the gather-free device decode.
+
+        Returns (limits (11,), adj (13,), perm (256,)) int32:
+        - the code length of a bit-reversed 12-bit peek v is
+          ``1 + sum_l [v >= limits[l]]`` (limits[l] = left-justified
+          first code of length l+2 — canonical levels partition the
+          12-bit value space in order),
+        - its canonical index is ``(v >> (12 - L)) + adj[L]``,
+        - ``perm[index]`` is the symbol (indices enumerate symbols in
+          (length, symbol) order — exactly _canonical_codes' order).
+        """
+        counts = np.bincount(self.lengths, minlength=MAX_CODE_LEN + 1)
+        first = np.zeros(MAX_CODE_LEN + 2, dtype=np.int64)
+        c = 0
+        for ln in range(1, MAX_CODE_LEN + 2):
+            first[ln] = c
+            c = (c + (counts[ln] if ln <= MAX_CODE_LEN else 0)) << 1
+        # left-justified level starts; level l+1's start is level l's end
+        lj = np.zeros(MAX_CODE_LEN + 2, dtype=np.int64)
+        for ln in range(1, MAX_CODE_LEN + 2):
+            lj[ln] = first[ln] << max(MAX_CODE_LEN - ln, 0)
+        limits = lj[2 : MAX_CODE_LEN + 1].astype(np.int32)  # (11,)
+        # off[L] = number of symbols with shorter codes = cumsum through
+        # L-1, excluding counts[0] (absent symbols)
+        off = np.cumsum(counts)[:MAX_CODE_LEN] - counts[0]
+        adj = np.zeros(MAX_CODE_LEN + 1, dtype=np.int64)
+        adj[1:] = off - first[1 : MAX_CODE_LEN + 1]
+        perm = np.zeros(256, dtype=np.int32)
+        k = 0
+        for ln in range(1, MAX_CODE_LEN + 1):
+            for s in range(256):
+                if self.lengths[s] == ln:
+                    perm[k] = s
+                    k += 1
+        return limits, adj.astype(np.int32), perm
 
 
 def _limited_lengths(counts: np.ndarray, max_len: int = MAX_CODE_LEN
@@ -152,6 +208,18 @@ def _unpack_table(buf: bytes) -> HuffmanTable:
     return HuffmanTable(lengths=lengths, codes=_canonical_codes(lengths))
 
 
+def _build_head(n: int, chunk_symbols: int, nchunks: int, t: HuffmanTable,
+                sizes: np.ndarray) -> bytes:
+    """v2 stream header; sizes shrink to u16 whenever they fit."""
+    assert chunk_symbols < (1 << 16), "v2 header stores chunk_symbols as u16"
+    u16_ok = sizes.size == 0 or int(sizes.max()) < (1 << 16)
+    flags = _FLAG_V2 | (_FLAG_SIZES_U16 if u16_ok else 0)
+    return (np.uint32(n).tobytes()
+            + np.uint16(chunk_symbols).tobytes() + np.uint16(flags).tobytes()
+            + np.uint32(nchunks).tobytes() + _pack_table(t)
+            + sizes.astype(np.uint16 if u16_ok else np.uint32).tobytes())
+
+
 def huff_compress(data: np.ndarray | bytes,
                   chunk_symbols: int = DEFAULT_CHUNK_SYMBOLS,
                   table: HuffmanTable | None = None) -> bytes:
@@ -171,11 +239,7 @@ def huff_compress(data: np.ndarray | bytes,
     native = huff_encode_native(arr, chunk_symbols, t.codes, t.lengths)
     if native is not None:
         payload, sizes = native
-        nchunks = sizes.size
-        head = (np.array([n, chunk_symbols, nchunks],
-                         dtype=np.uint32).tobytes()
-                + _pack_table(t) + sizes.tobytes())
-        return head + payload
+        return _build_head(n, chunk_symbols, sizes.size, t, sizes) + payload
     nchunks = max(1, -(-n // chunk_symbols))
     padded_n = nchunks * chunk_symbols
     lens = np.zeros(padded_n, dtype=np.int64)
@@ -201,35 +265,59 @@ def huff_compress(data: np.ndarray | bytes,
     packed = np.packbits(bits, axis=1, bitorder="little")
     sizes = ((chunk_bits + 7) // 8).astype(np.uint32)
     payloads = [packed[c, : sizes[c]].tobytes() for c in range(nchunks)]
-    head = (np.array([n, chunk_symbols, nchunks], dtype=np.uint32).tobytes()
-            + _pack_table(t) + sizes.tobytes())
-    return head + b"".join(payloads)
+    return (_build_head(n, chunk_symbols, nchunks, t, sizes)
+            + b"".join(payloads))
 
 
 def _parse(buf: bytes):
-    n, chunk_symbols, nchunks = np.frombuffer(buf, dtype=np.uint32, count=3)
+    n = int(np.frombuffer(buf, dtype=np.uint32, count=1)[0])
+    cs16, flags = np.frombuffer(buf, dtype=np.uint16, count=2, offset=4)
+    if flags == 0:  # v1: u32 chunk_symbols, u32 sizes
+        chunk_symbols = int(np.frombuffer(buf, np.uint32, 1, offset=4)[0])
+        sz_dt = np.uint32
+    else:
+        chunk_symbols = int(cs16)
+        sz_dt = np.uint16 if flags & _FLAG_SIZES_U16 else np.uint32
+    nchunks = int(np.frombuffer(buf, dtype=np.uint32, count=1, offset=8)[0])
     t = _unpack_table(buf[12 : 12 + 128])
-    sizes = np.frombuffer(buf, dtype=np.uint32, count=int(nchunks),
-                          offset=140)
-    payload_start = 140 + 4 * int(nchunks)
+    sizes = np.frombuffer(buf, dtype=sz_dt, count=nchunks, offset=140)
+    payload_start = 140 + sizes.itemsize * nchunks
     offsets = payload_start + np.concatenate(
         [[0], np.cumsum(sizes.astype(np.int64))])[:-1]
-    return int(n), int(chunk_symbols), int(nchunks), t, sizes, offsets
+    return n, chunk_symbols, nchunks, t, sizes, offsets
+
+
+def _device_platform_nonhost() -> bool:
+    """True when JAX's default backend is an accelerator (the production
+    +Huf decode then runs the chunk-parallel device kernel)."""
+    try:
+        import jax
+
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover - jax missing/uninitializable
+        return False
 
 
 def huff_decompress(buf: bytes, backend: str = "auto") -> np.ndarray:
     """Decode a huff_compress stream.
 
-    backend: "auto" prefers the native C++ table-driven loop (the
-    production path — entropy decode is gather-driven, the one pattern
-    that scalarizes on TPU, so it stays on host exactly like the
-    reference runs Huff0 on CPU); "jax" forces the experimental
-    chunk-parallel device scan; "numpy" the vectorized host fallback.
+    backend: "auto" runs the gather-free chunk-parallel device kernel
+    when JAX's default backend is an accelerator (VERDICT r2 item 1 —
+    a +Huf stream participates in on-device decode), else the native
+    C++ table-driven loop (host-only processes, exactly where the
+    reference runs Huff0); "jax" forces the device kernel; "native" the
+    C++ loop; "numpy" the vectorized host fallback.
     """
     n, chunk_symbols, nchunks, t, sizes, offsets = _parse(buf)
     if n == 0:
         return np.zeros(0, dtype=np.uint8)
-    if backend == "auto":
+    if backend == "jax" or (backend == "auto" and _device_platform_nonhost()):
+        try:
+            return _decode_jax(buf, n, chunk_symbols, nchunks, t, sizes,
+                               offsets)
+        except ImportError:
+            pass
+    if backend in ("auto", "native"):
         from ..native_host import huff_decode_native
 
         sym_lut, len_lut = t.decode_lut()
@@ -237,13 +325,24 @@ def huff_decompress(buf: bytes, backend: str = "auto") -> np.ndarray:
                                     sym_lut, len_lut)
         if native is not None:
             return native
-    if backend == "jax":
-        try:
-            return _decode_jax(buf, n, chunk_symbols, nchunks, t, sizes,
-                               offsets)
-        except ImportError:
-            pass
     return _decode_np(buf, n, chunk_symbols, nchunks, t, sizes, offsets)
+
+
+def _dense_payloads(data: np.ndarray, offsets, sizes, maxb: int,
+                    nc_pad: int | None = None) -> np.ndarray:
+    """Gather chunk payloads into a rectangular (nchunks, maxb) u8 buffer
+    (vectorized — no per-chunk Python loop; chunk counts reach 1e5+)."""
+    nchunks = len(sizes)
+    dense = np.zeros((nc_pad or nchunks, maxb), dtype=np.uint8)
+    ln = sizes.astype(np.int64)
+    tot = int(ln.sum())
+    if tot:
+        starts = np.cumsum(ln) - ln
+        q = np.arange(tot, dtype=np.int64) - np.repeat(starts, ln)
+        flat = dense.reshape(-1)
+        flat[np.repeat(np.arange(nchunks, dtype=np.int64) * maxb, ln) + q] \
+            = data[np.repeat(offsets.astype(np.int64), ln) + q]
+    return dense
 
 
 def _decode_np(buf, n, chunk_symbols, nchunks, t, sizes, offsets):
@@ -251,10 +350,7 @@ def _decode_np(buf, n, chunk_symbols, nchunks, t, sizes, offsets):
     sym_lut, len_lut = t.decode_lut()
     data = np.frombuffer(buf, dtype=np.uint8)
     maxb = int(sizes.max()) + 4 if nchunks else 4
-    dense = np.zeros((nchunks, maxb), dtype=np.int64)
-    for c in range(nchunks):
-        dense[c, : int(sizes[c])] = data[
-            int(offsets[c]) : int(offsets[c]) + int(sizes[c])]
+    dense = _dense_payloads(data, offsets, sizes, maxb).astype(np.int64)
     rows = np.arange(nchunks)
     bitpos = np.zeros(nchunks, dtype=np.int64)
     syms = np.empty((nchunks, chunk_symbols), dtype=np.uint8)
@@ -271,60 +367,259 @@ def _decode_np(buf, n, chunk_symbols, nchunks, t, sizes, offsets):
     return syms.reshape(-1)[:n]
 
 
-def _decode_jax(buf, n, chunk_symbols, nchunks, t, sizes, offsets):
-    """Chunk-parallel device decode: lanes = chunks, scan steps = symbols."""
-    import jax
-    import jax.numpy as jnp
-
+def device_decode_prep(buf: bytes):
+    """Host prep for the device decode: returns
+    (words (nc_pad, W32) uint32, tables (limits, adj, perm) int32,
+     chunk_symbols, nchunks, n). Shapes are bucketed for jit reuse."""
     from ..utils.shapes import next_bucket
 
-    sym_lut, len_lut = t.decode_lut()
     data = np.frombuffer(buf, dtype=np.uint8)
-    maxb = int(sizes.max()) + 4 if nchunks else 4
-    # gather each chunk's payload into a rectangular (nchunks, maxb) buffer
-    dense = np.zeros((nchunks, maxb), dtype=np.uint8)
-    for c in range(nchunks):
-        dense[c, : int(sizes[c])] = data[
-            int(offsets[c]) : int(offsets[c]) + int(sizes[c])]
-
-    nc_pad = next_bucket(nchunks, 8)
-    dense_p = np.zeros((nc_pad, maxb), dtype=np.uint8)
-    dense_p[:nchunks] = dense
-
-    out = _decode_scan(
-        jnp.asarray(dense_p, jnp.int32),
-        jnp.asarray(sym_lut, jnp.int32),
-        jnp.asarray(len_lut, jnp.int32),
-        chunk_symbols)
-    out = np.asarray(out, dtype=np.uint8)[:nchunks].reshape(-1)[:n]
-    return out
+    n, chunk_symbols, nchunks, t, sizes, offsets = _parse(buf)
+    maxb = int(sizes.max()) if nchunks else 0
+    # u32 words, one spare so the refill select never matches past the end
+    w32 = -(-max(maxb, 1) // 4) + 1
+    w32 += (-w32) % 8  # mult-of-8 bucket: jit reuse without pow2 blowup
+    nc_pad = next_bucket(max(nchunks, 1), minimum=8)
+    dense = _dense_payloads(data, offsets, sizes, w32 * 4, nc_pad=nc_pad)
+    words = dense.reshape(nc_pad, w32, 4).view(np.uint32)[..., 0]
+    limits, adj, perm = t.canonical_tables()
+    return words, (limits, adj, perm), chunk_symbols, nchunks, n
 
 
-def _decode_scan(dense, sym_lut, len_lut, chunk_symbols):
+def _decode_jax(buf, n, chunk_symbols, nchunks, t, sizes, offsets):
+    """Chunk-parallel device decode: lanes = chunks, 2 symbols per step."""
+    words, tables, cs, nchunks, n = device_decode_prep(buf)
+    import jax.numpy as jnp
+
+    out = get_decode_device()(
+        jnp.asarray(words), *(jnp.asarray(x) for x in tables), cs)
+    return np.asarray(out[:nchunks]).reshape(-1)[:n].astype(np.uint8)
+
+
+def _rev12(x):
+    """Bit-reverse the low 12 bits (uint32 lanes, 4 swap rounds)."""
+    x = ((x & 0x5555) << 1) | ((x >> 1) & 0x5555)
+    x = ((x & 0x3333) << 2) | ((x >> 2) & 0x3333)
+    x = ((x & 0x0F0F) << 4) | ((x >> 4) & 0x0F0F)
+    x = ((x & 0x00FF) << 8) | ((x >> 8) & 0x00FF)
+    return x >> 4
+
+
+def _make_decode_device():
     import functools
 
     import jax
     import jax.numpy as jnp
 
-    @functools.partial(jax.jit, static_argnames=("steps",))
-    def run(dense, sym_lut, len_lut, steps):
-        nchunks, maxb = dense.shape
+    @functools.partial(jax.jit, static_argnames=("chunk_symbols",))
+    def decode_device(words, limits, adj, perm, chunk_symbols):
+        """Gather-free chunk-parallel canonical Huffman decode.
 
-        def step(bitpos, _):
-            byte = bitpos >> 3
-            i0 = jnp.clip(byte, 0, maxb - 1)
-            i1 = jnp.clip(byte + 1, 0, maxb - 1)
-            i2 = jnp.clip(byte + 2, 0, maxb - 1)
-            rows = jnp.arange(nchunks)
-            w = (dense[rows, i0] | (dense[rows, i1] << 8)
-                 | (dense[rows, i2] << 16))
-            peek = (w >> (bitpos & 7)) & 0xFFF
-            s = sym_lut[peek]
-            L = len_lut[peek]
-            return bitpos + L, s
+        words: (C, W) uint32 little-endian payload words per chunk;
+        limits/adj/perm: canonical_tables(); returns (C, chunk_symbols)
+        uint8 symbols (junk past each chunk's true payload — callers
+        slice). Every op is elementwise/reduce/matmul on (C,)- or
+        (C, W)-shaped arrays: no per-lane indexed gathers anywhere
+        (CLAUDE.md scalarization hazard). lax.scan steps = symbols/2.
+        """
+        C, W = words.shape
+        steps = (chunk_symbols + 1) // 2
+        wiota = jnp.arange(W, dtype=jnp.int32)[None, :]
 
-        _, syms = jax.lax.scan(
-            step, jnp.zeros(nchunks, jnp.int32), None, length=steps)
-        return syms.T  # (nchunks, steps)
+        def decode1(lo, hi, nbits):
+            v = _rev12(lo & 0xFFF).astype(jnp.int32)
+            L = jnp.ones_like(nbits)
+            for i in range(MAX_CODE_LEN - 1):
+                L = L + (v >= limits[i]).astype(jnp.int32)
+            a = jnp.zeros_like(L)
+            for li in range(1, MAX_CODE_LEN + 1):
+                a = a + jnp.where(L == li, adj[li], 0)
+            idx = jax.lax.shift_right_logical(
+                v, MAX_CODE_LEN - L) + a
+            idx = jnp.clip(idx, 0, 255)  # junk peeks stay in perm range
+            Lu = L.astype(jnp.uint32)
+            lo = (lo >> Lu) | (hi << (32 - Lu))  # 1 <= L <= 12
+            hi = hi >> Lu
+            return lo, hi, nbits - L, idx
 
-    return run(dense, sym_lut, len_lut, chunk_symbols)
+        def step(carry, _):
+            lo, hi, nbits, widx = carry
+            # branchless refill: ONE u32 per step keeps >= 24 bits
+            # banked before decoding two <= 12-bit symbols
+            need = nbits < 24
+            w = jnp.sum(jnp.where(wiota == widx[:, None], words, 0),
+                        axis=1)  # select-accumulate, not a gather
+            nb_u = nbits.astype(jnp.uint32)
+            lo = jnp.where(need, lo | (w << nb_u), lo)
+            # (w >> 1) >> (31 - nbits) == w >> (32 - nbits), and stays
+            # defined at nbits == 0 (plain 32-shift would be UB)
+            hi = jnp.where(need, hi | ((w >> 1) >> (31 - nb_u)), hi)
+            nbits = nbits + jnp.where(need, 32, 0)
+            widx = widx + need.astype(jnp.int32)
+            lo, hi, nbits, i0 = decode1(lo, hi, nbits)
+            lo, hi, nbits, i1 = decode1(lo, hi, nbits)
+            return (lo, hi, nbits, widx), i0 | (i1 << 8)
+
+        zero_u = jnp.zeros(C, jnp.uint32)
+        zero_i = jnp.zeros(C, jnp.int32)
+        _, packed = jax.lax.scan(
+            step, (zero_u, zero_u, zero_i, zero_i), None, length=steps)
+        p = packed.T  # (C, steps)
+        idx = jnp.stack([p & 255, (p >> 8) & 255], -1).reshape(
+            C, 2 * steps)[:, :chunk_symbols]
+        # canonical index -> symbol: nibble-split exact-bf16 one-hot
+        # matmul against the (16, 16) permutation (ops/pack.py's trick)
+        pm = perm.reshape(16, 16).astype(jnp.bfloat16)
+        oh = (
+            (idx >> 4)[..., None] == jnp.arange(16, dtype=jnp.int32)
+        ).astype(jnp.bfloat16)
+        cand = jax.lax.dot_general(
+            oh, pm, dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (C, cs, 16), exact
+        lo4 = idx & 15
+        sym = jnp.zeros(idx.shape, jnp.int32)
+        for nib in range(16):
+            sym = sym + jnp.where(
+                lo4 == nib, cand[..., nib].astype(jnp.int32), 0)
+        return sym.astype(jnp.uint8)
+
+    return decode_device
+
+
+_decode_device_fn = None
+
+
+def get_decode_device():
+    """The jitted device decode kernel (built lazily: jax optional)."""
+    global _decode_device_fn
+    if _decode_device_fn is None:
+        _decode_device_fn = _make_decode_device()
+    return _decode_device_fn
+
+
+# ----------------------------------------------------------------- encode
+
+
+def _make_encode_device():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def encode_device(syms, lut_packed):
+        """Device Huffman encode pass: lanes = chunks.
+
+        syms: (C, cs) int32 symbols (pad value 256 -> zero-length code);
+        lut_packed: (16, 17) float32, [hi, lo] = code | len << 12 of
+        symbol 16*hi+lo (column 16 = the pad code, 0). Returns
+        (words (steps, C) int32 = u16 payload word | valid << 16,
+         acc (C,) int32 final partial word, nbits (C,) int32 its bits).
+
+        Per-symbol (code, len) rides ONE exact-f32 nibble matmul: both
+        fit 16 bits, exact in f32 (< 2^24); the append scan then emits
+        one little-endian u16 word whenever 16 bits accumulate — i.e.
+        byte-identical LSB-first emission to the native C++ loop.
+        """
+        C, cs = syms.shape
+        hi = syms >> 4
+        oh = (hi[..., None] == jnp.arange(16, dtype=jnp.int32)
+              ).astype(jnp.bfloat16)
+        cand = jax.lax.dot_general(
+            oh, lut_packed.astype(jnp.float32),
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (C, cs, 17)
+        lo4 = jnp.where(syms > 255, 16, syms & 15)
+        packed = jnp.zeros(syms.shape, jnp.int32)
+        for nib in range(17):
+            packed = packed + jnp.where(
+                lo4 == nib, cand[..., nib].astype(jnp.int32), 0)
+        xs = packed.T  # (cs, C): scan steps read static slices
+
+        def step(carry, p):
+            acc, nbits = carry
+            code = (p & 0xFFF).astype(jnp.uint32)
+            ln = p >> 12
+            acc = acc | (code << nbits.astype(jnp.uint32))  # <= 28 bits
+            nbits = nbits + ln
+            flush = nbits >= 16
+            word = (acc & 0xFFFF).astype(jnp.int32)
+            acc = jnp.where(flush, acc >> 16, acc)
+            nbits = jnp.where(flush, nbits - 16, nbits)
+            return (acc, nbits), word | (flush.astype(jnp.int32) << 16)
+
+        (acc, nbits), words = jax.lax.scan(
+            step, (jnp.zeros(C, jnp.uint32), jnp.zeros(C, jnp.int32)), xs)
+        return words, acc.astype(jnp.int32), nbits
+
+    return encode_device
+
+
+_encode_device_fn = None
+
+
+def get_encode_device():
+    global _encode_device_fn
+    if _encode_device_fn is None:
+        _encode_device_fn = _make_encode_device()
+    return _encode_device_fn
+
+
+def encode_lut_packed(t: HuffmanTable) -> np.ndarray:
+    """(16, 17) float32 nibble-matmul LUT for encode_device."""
+    lut = np.zeros((16, 17), dtype=np.float32)
+    packed = (t.codes.astype(np.int64)
+              | (t.lengths.astype(np.int64) << 12)).reshape(16, 16)
+    lut[:, :16] = packed
+    return lut
+
+
+def huff_compress_device(data: np.ndarray | bytes,
+                         chunk_symbols: int = DEFAULT_CHUNK_SYMBOLS,
+                         table: HuffmanTable | None = None) -> bytes:
+    """huff_compress twin whose per-symbol emission runs on device
+    (byte-identical output). Host keeps table build (native histogram)
+    and the final ragged byte assembly, mirroring how the sprintz
+    encoder splits device pass / host plan+assembly (encoder.py)."""
+    import jax.numpy as jnp
+
+    from ..utils.shapes import next_bucket
+
+    arr = np.frombuffer(data, dtype=np.uint8) if isinstance(
+        data, (bytes, bytearray)) else np.asarray(data, dtype=np.uint8)
+    t = build_table(arr) if table is None else table
+    n = arr.size
+    nchunks = max(1, -(-n // chunk_symbols))
+    nc_pad = next_bucket(nchunks, 8)
+    syms = np.full((nc_pad, chunk_symbols), 256, dtype=np.int32)
+    syms.reshape(-1)[:n] = arr
+    words, acc, nbits = get_encode_device()(
+        jnp.asarray(syms), jnp.asarray(encode_lut_packed(t)))
+    return _assemble_device_encode(
+        np.asarray(words), np.asarray(acc), np.asarray(nbits),
+        n, chunk_symbols, nchunks, t)
+
+
+def _assemble_device_encode(words, acc, nbits, n, chunk_symbols, nchunks,
+                            t) -> bytes:
+    """Host assembly of encode_device output (vectorized numpy)."""
+    wt = words.T[:nchunks]  # (nchunks, steps)
+    valid = (wt >> 16).astype(bool)
+    nwords = valid.sum(axis=1).astype(np.int64)
+    tail_bytes = (nbits[:nchunks].astype(np.int64) + 7) // 8
+    sizes = (2 * nwords + tail_bytes).astype(np.uint32)
+    bounds = np.cumsum(sizes.astype(np.int64))
+    payload = np.zeros(int(bounds[-1]) if nchunks else 0, dtype=np.uint8)
+    # u16 words, little-endian, compacted per chunk
+    flat_w = wt[valid].astype(np.uint16)  # row-major: chunk order kept
+    starts = bounds - sizes
+    if flat_w.size:
+        wstarts = np.repeat(starts, nwords)
+        within = np.arange(flat_w.size) - np.repeat(
+            np.cumsum(nwords) - nwords, nwords)
+        payload[wstarts + 2 * within] = flat_w & 0xFF
+        payload[wstarts + 2 * within + 1] = flat_w >> 8
+    one = tail_bytes >= 1
+    payload[(starts + 2 * nwords)[one]] = acc[:nchunks][one] & 0xFF
+    two = tail_bytes == 2
+    payload[(starts + 2 * nwords + 1)[two]] = (acc[:nchunks][two] >> 8) & 0xFF
+    return (_build_head(n, chunk_symbols, nchunks, t, sizes)
+            + payload.tobytes())

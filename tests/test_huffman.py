@@ -42,6 +42,70 @@ def test_huffman_native_matches_numpy(rng):
         assert comp_native == comp_np, kind
 
 
+@pytest.mark.parametrize("cs", [62, 64, 128, 512, 4096])
+def test_huffman_chunk_sizes_all_backends(rng, cs):
+    """The device kernel must be exact at every chunk granularity (the
+    decode-speed knob) and across skews, including the junk-peek padding
+    region of the final partial chunk."""
+    for kind in ("rand", "small", "sparse"):
+        data = make_stream(rng, 10_007, 1, kind)
+        comp = huff_compress(data, chunk_symbols=cs)
+        for backend in ("native", "numpy", "jax"):
+            np.testing.assert_array_equal(
+                huff_decompress(comp, backend=backend), data,
+                err_msg=f"{backend} cs={cs} {kind}")
+
+
+def test_huffman_reads_v1_streams(rng):
+    """Round-2 streams (u32 chunk_symbols, u32 sizes) still decode."""
+    import sprintz_tpu.entropy.huffman as hf
+
+    data = make_stream(rng, 9000, 1, "small")
+    v2 = huff_compress(data, chunk_symbols=512)
+    n, cs, nchunks, t, sizes, offsets = hf._parse(v2)
+    payload = v2[int(offsets[0]):] if nchunks else b""
+    v1 = (np.array([n, cs, nchunks], dtype=np.uint32).tobytes()
+          + hf._pack_table(t) + sizes.astype(np.uint32).tobytes() + payload)
+    for backend in ("native", "numpy", "jax"):
+        np.testing.assert_array_equal(
+            huff_decompress(v1, backend=backend), data, err_msg=backend)
+
+
+@pytest.mark.parametrize("cs", [64, 128, 4096])
+def test_device_encode_byte_identical(rng, cs):
+    """encode_device + host assembly must reproduce the native/numpy
+    emitter's bytes exactly (same chunked LSB-first format)."""
+    from sprintz_tpu.entropy import huff_compress_device
+
+    for kind in ("rand", "small", "sparse", "zeros"):
+        for n in (100, 10_007, 50_000):
+            data = make_stream(rng, n, 1, kind)
+            ref = huff_compress(data, chunk_symbols=cs)
+            dev = huff_compress_device(data, chunk_symbols=cs)
+            assert dev == ref, f"{kind} n={n} cs={cs}"
+
+
+def test_canonical_tables_agree_with_lut(rng):
+    """canonical_tables (device decode) and decode_lut (host decode) must
+    define the same code: every 12-bit peek maps to one (symbol, length)."""
+    import sprintz_tpu.entropy.huffman as hf
+
+    for kind in ("rand", "small", "sparse"):
+        t = hf.build_table(make_stream(rng, 20000, 1, kind))
+        sym_lut, len_lut = t.decode_lut()
+        limits, adj, perm = t.canonical_tables()
+        peek = np.arange(1 << hf.MAX_CODE_LEN)
+        v = np.zeros_like(peek)
+        for b in range(hf.MAX_CODE_LEN):  # bit-reverse each peek
+            v |= ((peek >> b) & 1) << (hf.MAX_CODE_LEN - 1 - b)
+        L = 1 + (v[:, None] >= limits[None, :]).sum(axis=1)
+        idx = np.clip((v >> (hf.MAX_CODE_LEN - L)) + adj[L], 0, 255)
+        ok = len_lut > 0  # LUT entries actually covered by a code
+        np.testing.assert_array_equal(L[ok], len_lut[ok].astype(np.int64))
+        np.testing.assert_array_equal(perm[idx[ok]],
+                                      sym_lut[ok].astype(np.int32))
+
+
 def test_huffman_edge_cases():
     for data in [np.zeros(0, np.uint8), np.array([3], np.uint8),
                  np.arange(256, dtype=np.uint8)]:
