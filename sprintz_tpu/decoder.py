@@ -98,11 +98,29 @@ def _lowdim_pass(codec: str, ndims: int, elem_sz: int) -> str:
     return "legacy"
 
 
+def _grouped_unpack_ok(ndims: int) -> bool:
+    """Use the group-folded lowdim unpack (bit-identical, codec-agnostic:
+    it only reshapes the einsum batch to full (8, ~128) tiles)? Applies
+    to xff too — the delta-only gate above is about the fused PREFIX, not
+    the unpack (VERDICT r2 item 3)."""
+    return LOWDIM_PASS in ("auto", "grouped") and 128 % ndims == 0
+
+
 def _dmajor_ok(codec: str, ndims: int, elem_sz: int) -> bool:
     return _lowdim_pass(codec, ndims, elem_sz) == "dmajor"
 
 
 if _have_jax:
+
+    def _unpack_lowdim_best(dense, widths):
+        """Lowdim field extraction with the fastest bit-identical
+        formulation: group-folded when D divides 128 (sessions 12/13),
+        legacy einsum otherwise. Codec-independent."""
+        from .ops.pack import unpack_dims_lowdim_grouped
+
+        if _grouped_unpack_ok(widths.shape[-1]):
+            return unpack_dims_lowdim_grouped(dense, widths)
+        return unpack_dims_lowdim(dense, widths)
 
     def _decode_lowdim_dmajor(dense, widths, elem_sz, state=None):
         """(nb, D, EB) u8 + (nb, D) widths -> ((N, D) narrow, (D,) last).
@@ -386,11 +404,7 @@ if _have_jax:
         dense = dense.astype(jnp.int32)  # transferred as u8, computed wide
         widths = widths.astype(jnp.int32)
         if lowdim:
-            if LOWDIM_PASS == "grouped":  # unpack is codec-independent
-                from .ops.pack import unpack_dims_lowdim_grouped
-                errs = unpack_dims_lowdim_grouped(dense, widths)
-            else:
-                errs = unpack_dims_lowdim(dense, widths)
+            errs = _unpack_lowdim_best(dense, widths)
         else:
             errs = unpack_rows_rowmajor(dense, widths)
         ndata, _, ndims = errs.shape
@@ -448,7 +462,7 @@ if _have_jax:
         dense = dense.astype(jnp.int32)
         widths = widths.astype(jnp.int32)
         if lowdim:
-            errs = unpack_dims_lowdim(dense, widths)
+            errs = _unpack_lowdim_best(dense, widths)
         else:
             errs = unpack_rows_rowmajor(dense, widths)
         ndata, _, ndims = errs.shape
@@ -490,7 +504,7 @@ if _have_jax:
         dense = dense.astype(jnp.int32)
         widths = widths.astype(jnp.int32)
         if lowdim:
-            errs = unpack_dims_lowdim(dense, widths)
+            errs = _unpack_lowdim_best(dense, widths)
         else:
             errs = unpack_rows_rowmajor(dense, widths)
         ndata, _, ndims = errs.shape
@@ -534,7 +548,7 @@ if _have_jax:
             d = dense_c.astype(jnp.int32)
             w = widths_c.astype(jnp.int32)
             if lowdim:
-                errs = unpack_dims_lowdim(d, w)
+                errs = _unpack_lowdim_best(d, w)
             else:
                 errs = unpack_rows_rowmajor(d, w)
             nb, _, ndims = errs.shape
@@ -761,9 +775,43 @@ def decompress_batch(
                  if metas[i][2] == ndims
                  and idxs[i].total_rows == idxs[i].widths.shape[0] * BLOCK_SZ
                  and idxs[i].total_rows > 0]
+    # streams WITH runs batch too, through the vmapped block-gather
+    # timeline (VERDICT r2 item 6) — only degenerate/foreign streams
+    # fall back to per-stream decode
+    runs_batch = [i for i in todo
+                  if i not in batchable and metas[i][2] == ndims
+                  and idxs[i].total_rows > 0
+                  and idxs[i].widths.shape[0] > 0]
     for i in todo:
-        if i not in batchable:
+        if i not in batchable and i not in runs_batch:
             out[i] = decompress(bufs[i], codec, elem_sz)
+    if runs_batch:
+        denses = {i: gather_payloads(bufs[i], idxs[i], ndims, elem_sz,
+                                     lowdim) for i in runs_batch}
+        nd_pad = next_bucket(max(idxs[i].widths.shape[0]
+                                 for i in runs_batch))
+        rows_pad = next_bucket(max(idxs[i].total_rows for i in runs_batch))
+        maxb = max(denses[i].shape[2] for i in runs_batch)
+        S = len(runs_batch)
+        dense_b = np.zeros(
+            (S, nd_pad, denses[runs_batch[0]].shape[1], maxb), np.uint8)
+        widths_b = np.zeros((S, nd_pad, ndims), np.int32)
+        rows_b = np.full((S, nd_pad), rows_pad + BLOCK_SZ, np.int64)
+        for s, i in enumerate(runs_batch):
+            d = denses[i]
+            dense_b[s, : d.shape[0], :, : d.shape[2]] = d
+            widths_b[s, : d.shape[0]] = idxs[i].widths
+            rows_b[s, : d.shape[0]] = idxs[i].out_rows
+        vals = _decode_pass_batch(
+            jnp.asarray(dense_b), jnp.asarray(widths_b),
+            jnp.asarray(rows_b, jnp.int32), codec, elem_sz, lowdim,
+            rows_pad)
+        vals = np.asarray(vals)
+        for s, i in enumerate(runs_batch):
+            body = vals[s, : idxs[i].total_rows].astype(udt).reshape(-1)
+            tail = np.frombuffer(bufs[i], dtype=udt, count=metas[i][1],
+                                 offset=idxs[i].tail_offset)
+            out[i] = np.concatenate([body, tail])
     if batchable:
         denses = {i: gather_payloads(bufs[i], idxs[i], ndims, elem_sz,
                                      lowdim) for i in batchable}
@@ -800,6 +848,17 @@ if _have_jax:
             _decode_pass_contiguous.__wrapped__, codec=codec,
             elem_sz=elem_sz, lowdim=lowdim)
         return jax.vmap(f)(dense, widths)
+
+    @functools.partial(jax.jit, static_argnames=(
+        "codec", "elem_sz", "lowdim", "rows_pad"))
+    def _decode_pass_batch(dense, widths, out_rows, codec, elem_sz,
+                           lowdim, rows_pad):
+        """vmapped general (runs-capable) decode pass: S streams decode
+        in one dispatch, each through the block-gather timeline."""
+        f = functools.partial(
+            _decode_pass.__wrapped__, codec=codec, elem_sz=elem_sz,
+            lowdim=lowdim, total_rows=rows_pad)
+        return jax.vmap(f)(dense, widths, out_rows)
 
 
 def decompress(

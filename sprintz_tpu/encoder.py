@@ -210,7 +210,15 @@ if _have_jax:
         ormask = jnp.bitwise_or.reduce(blocks, axis=1)
         if lowdim:
             widths = block_widths_lowdim(ormask, elem_sz)
-            dense = pack_dims_lowdim(blocks, widths, elem_sz)
+            if 128 % rows.shape[1] == 0:
+                # group-folded pack (bit-identical, codec-agnostic):
+                # full (8, ~128) tiles instead of minor-D batches —
+                # this is the xff-lowdim fast pass (VERDICT r2 item 3)
+                from .ops.pack import pack_dims_lowdim_grouped
+
+                dense = pack_dims_lowdim_grouped(blocks, widths, elem_sz)
+            else:
+                dense = pack_dims_lowdim(blocks, widths, elem_sz)
         else:
             widths = block_widths_rowmajor(ormask, elem_sz)
             dense = pack_rows_rowmajor(blocks, widths, elem_sz)

@@ -77,6 +77,32 @@ def test_decompress_batch(rng):
             got, decoder.decompress(buf, codec="xff", elem_sz=1))
 
 
+@pytest.mark.parametrize("codec,D", [("delta", 4), ("xff", 64),
+                                     ("delta", 64)])
+def test_decompress_batch_runs_streams(rng, codec, D):
+    """Streams containing RLE runs batch through the vmapped
+    block-gather timeline (VERDICT r2 item 6) — not per-stream decode."""
+    from sprintz_tpu.decoder import decompress_batch
+
+    streams = []
+    for s in range(4):
+        seg = rng.integers(-5, 6, (600 + 160 * s, D))
+        m = (np.arange(seg.shape[0]) // 40 % 3 == 0)[:, None]
+        streams.append((np.cumsum(np.where(m, 0, seg), axis=0) % 256
+                        ).astype(np.uint8).reshape(-1))
+    bufs = [encoder.compress(x, D, codec=codec) for x in streams]
+    # confirm these streams actually contain runs (else the test is vacuous)
+    idx = decoder.walk_headers(
+        bufs[0], *__import__("sprintz_tpu.golden.stream",
+                             fromlist=["read_metadata_rle"]
+                             ).read_metadata_rle(bufs[0])[0:1],
+        D, 1, lowdim=D <= 4)
+    assert idx.total_rows > idx.widths.shape[0] * 8
+    outs = decompress_batch(bufs, codec=codec, elem_sz=1)
+    for x, got in zip(streams, outs):
+        np.testing.assert_array_equal(got, x)
+
+
 def test_maxb_bucket_mult8_matches(rng, monkeypatch):
     """SPRINTZ_MAXB_BUCKET=mult8 sizes the dense unpack buffer to the
     next multiple of 8 above the stream's max row bytes (vs pow2);
