@@ -11,6 +11,7 @@
 #include <cstring>
 
 #include <algorithm>
+#include <atomic>
 #include <thread>
 #include <vector>
 
@@ -107,7 +108,7 @@ int64_t sprintz_build_plan(
 int64_t sprintz_walk_headers(
     const uint8_t* buf, int64_t buf_len, int64_t start, int64_t ngroups,
     int32_t ndims, int32_t elem_sz, int32_t lowdim,
-    int32_t* widths_out, int64_t* offsets_out, int64_t* out_rows_out,
+    uint8_t* widths_out, int64_t* offsets_out, int64_t* out_rows_out,
     int64_t* out_meta) {
   const int hdr_bits = elem_sz == 1 ? 3 : 4;
   const int elem_bits = 8 * elem_sz;
@@ -126,7 +127,7 @@ int64_t sprintz_walk_headers(
     int64_t bitpos = 0;
     for (int b = 0; b < kGroupSzBlocks; b++) {
       int64_t wsum = 0;
-      int32_t* wrow = widths_out + ndata * ndims;
+      uint8_t* wrow = widths_out + ndata * ndims;
       for (int d = 0; d < ndims; d++) {
         const int64_t bp = bitpos + (int64_t)d * hdr_bits;
         // fields never span more than 2 bytes (3/4-bit fields); the
@@ -135,7 +136,7 @@ int64_t sprintz_walk_headers(
             (uint32_t)hdr[bp >> 3] | ((uint32_t)hdr[(bp >> 3) + 1] << 8);
         int32_t h = (two >> (bp & 7)) & ((1u << hdr_bits) - 1);
         if (h == elem_bits - 1) h = elem_bits;
-        wrow[d] = h;
+        wrow[d] = (uint8_t)h;
         wsum += h;
       }
       bitpos += (int64_t)ndims * hdr_bits;
@@ -169,6 +170,96 @@ int64_t sprintz_walk_headers(
   return ndata;
 }
 
+// Segment-parallel header walk: segment s covers groups
+// [s*every_groups, ...) starting at byte_offsets[s] (from a checkpoint
+// sidecar) with first output row row_offsets[s]. Segments walk on
+// std::threads into per-segment scratch, then compact in stream order —
+// the host-stage parallelization of the north-star decode plan.
+// Outputs as sprintz_walk_headers (capacities 2*ngroups).
+// Returns ndata, -1 on overrun, -2 if a segment's row count contradicts
+// the sidecar (corrupt/mismatched sidecar).
+int64_t sprintz_walk_headers_parallel(
+    const uint8_t* buf, int64_t buf_len, const int64_t* byte_offsets,
+    const int64_t* row_offsets, int64_t nseg, int64_t every_groups,
+    int64_t ngroups, int32_t ndims, int32_t elem_sz, int32_t lowdim,
+    uint8_t* widths_out, int64_t* offsets_out, int64_t* out_rows_out,
+    int64_t* out_meta) {
+  const int64_t cap_seg = 2 * every_groups;
+  std::vector<uint8_t> w_s((size_t)(nseg * cap_seg) * ndims);
+  std::vector<int64_t> o_s((size_t)(nseg * cap_seg));
+  std::vector<int64_t> r_s((size_t)(nseg * cap_seg));
+  std::vector<int64_t> nd(nseg), rows(nseg), tails(nseg);
+  std::atomic<bool> bad{false};
+  int nthreads = (int)std::min<int64_t>(
+      std::max<int64_t>(nseg / 8, 1),
+      std::max(1u, std::thread::hardware_concurrency()));
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t s = lo; s < hi && !bad.load(std::memory_order_relaxed);
+         ++s) {
+      const int64_t g0 = s * every_groups;
+      const int64_t g1 = std::min(g0 + every_groups, ngroups);
+      int64_t meta[3];
+      const int64_t n = sprintz_walk_headers(
+          buf, buf_len, byte_offsets[s], g1 - g0, ndims, elem_sz, lowdim,
+          w_s.data() + (size_t)(s * cap_seg) * ndims,
+          o_s.data() + s * cap_seg, r_s.data() + s * cap_seg, meta);
+      if (n < 0) {
+        bad.store(true, std::memory_order_relaxed);
+        return;
+      }
+      nd[s] = n;
+      rows[s] = meta[1];
+      tails[s] = meta[2];
+    }
+  };
+  if (nthreads <= 1) {
+    work(0, nseg);
+  } else {
+    std::vector<std::thread> ts;
+    const int64_t per = (nseg + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; ++t) {
+      const int64_t lo = t * per, hi = std::min(nseg, lo + per);
+      if (lo >= hi) break;
+      ts.emplace_back(work, lo, hi);
+    }
+    for (auto& th : ts) th.join();
+  }
+  if (bad.load()) return -1;
+  for (int64_t s = 0; s + 1 < nseg; ++s)
+    if (row_offsets[s] + rows[s] != row_offsets[s + 1]) return -2;
+  std::vector<int64_t> starts(nseg + 1);
+  starts[0] = 0;
+  for (int64_t s = 0; s < nseg; ++s) starts[s + 1] = starts[s] + nd[s];
+  auto compact = [&](int64_t lo, int64_t hi) {
+    for (int64_t s = lo; s < hi; ++s) {
+      const int64_t base = starts[s];
+      memcpy(widths_out + (size_t)base * ndims,
+             w_s.data() + (size_t)(s * cap_seg) * ndims,
+             (size_t)nd[s] * ndims);
+      for (int64_t i = 0; i < nd[s]; ++i) {
+        offsets_out[base + i] = o_s[s * cap_seg + i];
+        out_rows_out[base + i] = r_s[s * cap_seg + i] + row_offsets[s];
+      }
+    }
+  };
+  if (nthreads <= 1) {
+    compact(0, nseg);
+  } else {
+    std::vector<std::thread> ts;
+    const int64_t per = (nseg + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; ++t) {
+      const int64_t lo = t * per, hi = std::min(nseg, lo + per);
+      if (lo >= hi) break;
+      ts.emplace_back(compact, lo, hi);
+    }
+    for (auto& th : ts) th.join();
+  }
+  out_meta[0] = starts[nseg];
+  out_meta[1] = row_offsets[nseg - 1] + rows[nseg - 1];
+  out_meta[2] = tails[nseg - 1];
+  return starts[nseg];
+}
+
 // ---------------------------------------------------------------------
 // Entropy stage: chunked canonical Huffman (the paper's +Huf role,
 // communicate/method.tex:300-303 — the reference pipes through Huff0 on
@@ -180,6 +271,95 @@ int64_t sprintz_walk_headers(
 // indexing measured ~0.1 GB/s; this is a bounds-checked memcpy per
 // row, threaded over units). Returns 0, or -1 on out-of-range units
 // (truncated/corrupt stream).
+// Specialized block gather: block i = kBlockSz rows of rb[i] bytes at
+// offsets[i], landing at out[i * kBlockSz * maxb + r * maxb]. Computes
+// unit indices inline — the generic-unit path spent as long building
+// its numpy src/dst/len arrays (3 x 8 x ndata int64 = ~3x the payload
+// bytes) as copying. Threaded over blocks. Returns 0 / -1 on overrun.
+int64_t sprintz_gather_blocks(
+    const uint8_t* buf, int64_t buf_len,
+    const int64_t* offsets, const int64_t* rb, int64_t ndata,
+    int64_t maxb, uint8_t* out, int64_t out_len) {
+  for (int64_t i = 0; i < ndata; ++i) {
+    if (rb[i] < 0 || rb[i] > maxb || offsets[i] < 0 ||
+        offsets[i] + kBlockSz * rb[i] > buf_len ||
+        (i + 1) * kBlockSz * maxb > out_len)
+      return -1;
+  }
+  int nthreads = (int)std::min<int64_t>(
+      std::max<int64_t>(ndata / 16384, 1),
+      std::max(1u, std::thread::hardware_concurrency()));
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      const uint8_t* s = buf + offsets[i];
+      uint8_t* d = out + i * kBlockSz * maxb;
+      int64_t w = rb[i];
+      for (int r = 0; r < kBlockSz; ++r)
+        memcpy(d + r * maxb, s + r * w, (size_t)w);
+    }
+  };
+  if (nthreads <= 1) {
+    work(0, ndata);
+    return 0;
+  }
+  std::vector<std::thread> ts;
+  int64_t per = (ndata + nthreads - 1) / nthreads;
+  for (int t = 0; t < nthreads; ++t) {
+    int64_t lo = t * per, hi = std::min(ndata, lo + per);
+    if (lo >= hi) break;
+    ts.emplace_back(work, lo, hi);
+  }
+  for (auto& th : ts) th.join();
+  return 0;
+}
+
+// Lowdim twin: block i = ndims sections of widths[i*ndims + d] bytes
+// each (a lowdim dim field is exactly its width in bytes), landing at
+// out[(i * ndims + d) * eb].
+int64_t sprintz_gather_dims(
+    const uint8_t* buf, int64_t buf_len,
+    const int64_t* offsets, const int32_t* widths, int64_t ndata,
+    int32_t ndims, int64_t eb, uint8_t* out, int64_t out_len) {
+  for (int64_t i = 0; i < ndata; ++i) {
+    int64_t tot = 0;
+    for (int32_t d = 0; d < ndims; ++d) {
+      int32_t w = widths[i * ndims + d];
+      if (w < 0 || w > eb) return -1;
+      tot += w;
+    }
+    if (offsets[i] < 0 || offsets[i] + tot > buf_len ||
+        (i + 1) * ndims * eb > out_len)
+      return -1;
+  }
+  int nthreads = (int)std::min<int64_t>(
+      std::max<int64_t>(ndata / 16384, 1),
+      std::max(1u, std::thread::hardware_concurrency()));
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      const uint8_t* s = buf + offsets[i];
+      uint8_t* d = out + i * ndims * eb;
+      for (int32_t k = 0; k < ndims; ++k) {
+        int32_t w = widths[i * ndims + k];
+        memcpy(d + k * eb, s, (size_t)w);
+        s += w;
+      }
+    }
+  };
+  if (nthreads <= 1) {
+    work(0, ndata);
+    return 0;
+  }
+  std::vector<std::thread> ts;
+  int64_t per = (ndata + nthreads - 1) / nthreads;
+  for (int t = 0; t < nthreads; ++t) {
+    int64_t lo = t * per, hi = std::min(ndata, lo + per);
+    if (lo >= hi) break;
+    ts.emplace_back(work, lo, hi);
+  }
+  for (auto& th : ts) th.join();
+  return 0;
+}
+
 int64_t sprintz_gather_units(
     const uint8_t* buf, int64_t buf_len,
     const int64_t* src, const int64_t* dst, const int64_t* len,

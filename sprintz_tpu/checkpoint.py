@@ -193,7 +193,9 @@ def decompress_parallel(buf: bytes, sidecar: Sidecar) -> np.ndarray:
     if ngroups == 0:
         return decoder.decompress(buf, sidecar.codec, elem_sz)
     lowdim = ndims <= LOWDIM_MAX_NDIMS[elem_sz]
-    idx = decoder.walk_headers(buf, ngroups, ndims, elem_sz, lowdim=lowdim)
+    idx = decoder.walk_headers_parallel(
+        buf, ngroups, ndims, elem_sz, sidecar.byte_offsets,
+        sidecar.row_offsets, sidecar.every_groups, lowdim=lowdim)
     ndata = idx.widths.shape[0]
     if ndata == 0 or len(sidecar.byte_offsets) <= 1:
         return decoder.decompress(buf, sidecar.codec, elem_sz)

@@ -284,7 +284,7 @@ if _have_jax:
 class StreamIndex:
     """Result of the host header walk: where everything lives."""
 
-    widths: np.ndarray  # (ndata, D) int32 per data block
+    widths: np.ndarray  # (ndata, D) uint8 per data block (max width 16)
     payload_offsets: np.ndarray  # (ndata,) int64 byte offset of block payload
     out_rows: np.ndarray  # (ndata,) int64 starting row of each data block
     total_rows: int
@@ -292,23 +292,91 @@ class StreamIndex:
 
 
 def walk_headers(buf: bytes, ngroups: int, ndims: int, elem_sz: int,
-                 start: int = METADATA_LEN_RLE, lowdim: bool = False
-                 ) -> StreamIndex:
+                 start: int = METADATA_LEN_RLE, lowdim: bool = False,
+                 padded: np.ndarray | None = None) -> StreamIndex:
     """Sequential walk over group headers to index payloads and runs.
 
     Uses the native C++ walker when available (native/sprintz_host.cpp);
     the Python loop below is the reference implementation and fallback.
+    ``padded``: optional shared pad_stream(buf) — pass it when walking
+    many segments of one buffer so each call skips the pad copy.
     """
     from .native_host import walk_headers_native
 
     native = walk_headers_native(bytes(buf), start, ngroups, ndims, elem_sz,
-                                 lowdim)
+                                 lowdim, padded=padded)
     if native is not None:
         widths, offsets, out_rows, total_rows, tail_offset = native
         return StreamIndex(
             widths=widths, payload_offsets=offsets, out_rows=out_rows,
             total_rows=total_rows, tail_offset=tail_offset)
     return _walk_headers_py(buf, ngroups, ndims, elem_sz, start, lowdim)
+
+
+def walk_headers_parallel(buf: bytes, ngroups: int, ndims: int,
+                          elem_sz: int, byte_offsets: np.ndarray,
+                          row_offsets: np.ndarray, every_groups: int,
+                          lowdim: bool = False, max_workers: int = 16
+                          ) -> StreamIndex:
+    """Segment-parallel header walk using sidecar checkpoint offsets.
+
+    The serial walk is O(groups) and single-threaded; with a sidecar
+    (checkpoint.py) every ``every_groups``-group segment starts at a
+    known byte/row offset, so segments walk concurrently (the native
+    walker releases the GIL during its C loop). Output equals
+    ``walk_headers``. This is the host-stage parallelization of the
+    north-star decode plan (SURVEY §2.10; VERDICT r2 item 4).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .native_host import pad_stream, walk_headers_parallel_native
+
+    C = len(byte_offsets)
+    if C <= 1 or ngroups <= every_groups:
+        return walk_headers(buf, ngroups, ndims, elem_sz, lowdim=lowdim)
+    native = walk_headers_parallel_native(
+        bytes(buf), byte_offsets, row_offsets, every_groups, ngroups,
+        ndims, elem_sz, lowdim)
+    if native is not None:
+        widths, offsets, out_rows, total_rows, tail_offset = native
+        return StreamIndex(
+            widths=widths, payload_offsets=offsets, out_rows=out_rows,
+            total_rows=total_rows, tail_offset=tail_offset)
+    padded = pad_stream(buf)  # shared: per-segment pad copies are O(C*N)
+
+    # batch several checkpoint segments per task: native-call overhead
+    # (array allocs, ctypes) dominates at every_groups=16-ish segments
+    segs_per = max(1, C // (max_workers * 4))
+
+    def one(j):
+        k0 = j * segs_per
+        g0 = k0 * every_groups
+        g1 = min((k0 + segs_per) * every_groups, ngroups)
+        return k0, walk_headers(buf, g1 - g0, ndims, elem_sz,
+                                start=int(byte_offsets[k0]), lowdim=lowdim,
+                                padded=padded)
+
+    ntasks = -(-C // segs_per)
+    with ThreadPoolExecutor(min(max_workers, ntasks)) as ex:
+        parts = [p for _, p in sorted(ex.map(one, range(ntasks)))]
+    row_offsets = row_offsets[::segs_per]
+    for k, p in enumerate(parts[:-1]):
+        if row_offsets[k] + p.total_rows != row_offsets[k + 1]:
+            from .errors import CorruptStreamError
+
+            raise CorruptStreamError(
+                f"sidecar inconsistent with stream at checkpoint {k}: "
+                f"segment rows {p.total_rows} != recorded row span")
+    return StreamIndex(
+        widths=np.concatenate([p.widths for p in parts]),
+        payload_offsets=np.concatenate(
+            [p.payload_offsets for p in parts]),
+        out_rows=np.concatenate(
+            [p.out_rows + int(row_offsets[k])
+             for k, p in enumerate(parts)]),
+        total_rows=int(row_offsets[-1]) + parts[-1].total_rows,
+        tail_offset=parts[-1].tail_offset,
+    )
 
 
 def _walk_headers_py(buf: bytes, ngroups: int, ndims: int, elem_sz: int,
@@ -369,8 +437,8 @@ def _walk_headers_py(buf: bytes, ngroups: int, ndims: int, elem_sz: int,
             row += BLOCK_SZ
     ndata = len(widths_list)
     return StreamIndex(
-        widths=(np.stack(widths_list).astype(np.int32)
-                if ndata else np.zeros((0, ndims), np.int32)),
+        widths=(np.stack(widths_list).astype(np.uint8)
+                if ndata else np.zeros((0, ndims), np.uint8)),
         payload_offsets=np.asarray(offsets, dtype=np.int64),
         out_rows=np.asarray(out_rows, dtype=np.int64),
         total_rows=row,
@@ -631,6 +699,64 @@ if _have_jax:
         return vals.astype(jnp.uint8 if elem_sz == 1 else jnp.uint16)
 
 
+if _have_jax:
+
+    @functools.partial(jax.jit, static_argnames=(
+        "codec", "elem_sz", "total_rows"))
+    def _decode_pass_ragged(dense_s, widths_s, widths_u, group_sizes,
+                            out_rows_s, codec, elem_sz, total_rows):
+        """Signature-sorted decode pass (rowmajor): ragged-dot unpack
+        (one weight table for all blocks sharing a width signature, no
+        per-block one-hot) + the block-gather timeline, which doubles as
+        the inverse of the signature sort for free — out_rows_s carries
+        the ORIGINAL block rows. Opt-in via SPRINTZ_RAGGED_DECODE until
+        the device A/B (VERDICT r2 item 5a)."""
+        from .ops.pack import unpack_rows_ragged
+
+        eb = 8 * elem_sz
+        errs = unpack_rows_ragged(
+            dense_s.astype(jnp.int32), widths_s.astype(jnp.int32),
+            widths_u.astype(jnp.int32), group_sizes)
+        ndata, _, ndims = errs.shape
+        nbt = total_rows // BLOCK_SZ
+        src = jnp.full((nbt,), ndata, jnp.int32)
+        src = src.at[out_rows_s // BLOCK_SZ].set(
+            jnp.arange(ndata, dtype=jnp.int32), mode="drop")
+        errs_pad = jnp.concatenate(
+            [errs, jnp.zeros((1, BLOCK_SZ, ndims), errs.dtype)])
+        full = errs_pad[src].reshape(nbt * BLOCK_SZ, ndims)
+        if codec == "delta":
+            vals = delta_decode(full, eb)
+        else:
+            vals = fire_decode(full, eb, truncate_coeffs=True)
+        return vals.astype(jnp.uint8 if elem_sz == 1 else jnp.uint16)
+
+
+def ragged_order(widths: np.ndarray):
+    """Host prep for the ragged-dot unpack: lexicographic sort of blocks
+    by width signature. Returns (order (ndata,), widths_u (U_pad, D),
+    group_sizes (U_pad,) block counts, U) with U_pad pow2-bucketed —
+    only the tiny per-UNIQUE tables pad, never the block lists."""
+    ndata = widths.shape[0]
+    order = np.lexsort(widths.T[::-1])
+    sorted_w = widths[order]
+    change = np.any(np.diff(sorted_w.astype(np.int16), axis=0) != 0,
+                    axis=1) if ndata > 1 else np.zeros(0, bool)
+    seg_starts = np.concatenate([[0], np.nonzero(change)[0] + 1])
+    counts = np.diff(np.concatenate([seg_starts, [ndata]]))
+    U = len(seg_starts)
+    u_pad = next_bucket(U + 1)  # always a spare group for padding blocks
+    widths_u = np.zeros((u_pad, widths.shape[1]), np.int32)
+    widths_u[:U] = sorted_w[seg_starts]
+    gs = np.zeros(u_pad, np.int32)
+    gs[:U] = counts
+    return order, widths_u, gs, U
+
+
+def _use_ragged() -> bool:
+    return os.environ.get("SPRINTZ_RAGGED_DECODE") == "1"
+
+
 def group_by_signature(idx: StreamIndex, max_blowup: float = 3.0):
     """Host-side width-signature grouping for _decode_pass_grouped.
 
@@ -662,12 +788,16 @@ def gather_payloads(buf: bytes, idx: StreamIndex, ndims: int, elem_sz: int,
                     lowdim: bool) -> np.ndarray:
     """Gather packed payload bytes into a dense per-block buffer
     (vectorized index arithmetic, no per-block loops)."""
+    from .native_host import gather_blocks_native, gather_dims_native
+
     buf_np = np.frombuffer(buf, dtype=np.uint8)
     ndata = idx.widths.shape[0]
     if lowdim:
         maxb = 8 * elem_sz
         dense = np.zeros((ndata, ndims, maxb), dtype=np.uint8)
         if ndata == 0:
+            return dense
+        if gather_dims_native(buf, idx.payload_offsets, idx.widths, dense):
             return dense
         w = idx.widths.astype(np.int64)  # (ndata, D)
         unit_len = w.reshape(-1)
@@ -690,6 +820,8 @@ def gather_payloads(buf: bytes, idx: StreamIndex, ndims: int, elem_sz: int,
         if ndata == 0:
             return dense
         rb = ((idx.widths.sum(axis=1) + 7) // 8).astype(np.int64)
+        if gather_blocks_native(buf, idx.payload_offsets, rb, dense):
+            return dense
         unit_len = np.repeat(rb, BLOCK_SZ)
         unit_src = (np.repeat(idx.payload_offsets, BLOCK_SZ)
                     + np.tile(np.arange(BLOCK_SZ), ndata) * unit_len)
@@ -898,6 +1030,27 @@ def decompress(
     ndata = idx.widths.shape[0]
     dense = gather_payloads(buf, idx, ndims, elem_sz, lowdim)
 
+    if (_use_ragged() and not lowdim and ndata
+            and idx.total_rows % BLOCK_SZ == 0):
+        order, widths_u, gs, U = ragged_order(idx.widths)
+        nd_pad = next_bucket(ndata)
+        rows_pad = next_bucket(idx.total_rows)
+        gs[U] += nd_pad - ndata  # padding blocks -> the spare zero group
+        dense_s = np.zeros((nd_pad,) + dense.shape[1:], dense.dtype)
+        dense_s[:ndata] = dense[order]
+        widths_s = np.zeros((nd_pad, ndims), np.int32)
+        widths_s[:ndata] = idx.widths[order]
+        out_rows_s = np.full(nd_pad, rows_pad + BLOCK_SZ, np.int64)
+        out_rows_s[:ndata] = idx.out_rows[order]
+        vals = _decode_pass_ragged(
+            jnp.asarray(dense_s), jnp.asarray(widths_s),
+            jnp.asarray(widths_u), jnp.asarray(gs),
+            jnp.asarray(out_rows_s, jnp.int32), codec, elem_sz, rows_pad)
+        body = np.asarray(vals[: idx.total_rows]).astype(udt).reshape(-1)
+        tail = np.frombuffer(
+            buf, dtype=udt, count=remaining_len, offset=idx.tail_offset)
+        return np.concatenate([body, tail])
+
     if idx.total_rows:
         if idx.total_rows == ndata * BLOCK_SZ:
             # no runs anywhere -> blocks are the timeline (fast path)
@@ -906,18 +1059,26 @@ def decompress(
             if ndata > chunk_nb:
                 # tile long streams; forecaster state carries across
                 # tiles (the last tile's shape padding is harmless:
-                # nothing consumes its exit state)
+                # nothing consumes its exit state). Software-pipelined
+                # depth 2: tile i+1's H2D + dispatch are issued (JAX
+                # dispatch is async) BEFORE tile i's result is fetched,
+                # so transfers overlap the previous tile's compute
+                # (VERDICT r2 item 10).
                 chunk_nb = next_bucket(chunk_nb)
                 state = jnp.zeros((3, ndims), jnp.int32)
                 parts = []
+                prev = None  # (device vals, rows)
                 for lo in range(0, ndata, chunk_nb):
                     hi = min(lo + chunk_nb, ndata)
                     vals, state = _decode_pass_contiguous_chunk(
                         jnp.asarray(pad_rows(dense[lo:hi], chunk_nb)),
                         jnp.asarray(pad_rows(idx.widths[lo:hi], chunk_nb)),
                         state, codec, elem_sz, lowdim)
-                    parts.append(np.asarray(
-                        vals[: (hi - lo) * BLOCK_SZ]).astype(udt))
+                    if prev is not None:
+                        parts.append(
+                            np.asarray(prev[0][: prev[1]]).astype(udt))
+                    prev = (vals, (hi - lo) * BLOCK_SZ)
+                parts.append(np.asarray(prev[0][: prev[1]]).astype(udt))
                 body = np.concatenate(parts).reshape(-1)
             else:
                 nd_pad = next_bucket(ndata)

@@ -90,8 +90,21 @@ def build_plan_native(zero_flags: np.ndarray, n_elems: int, ndims: int,
             int(meta[1]), int(meta[2]), int(meta[3]))
 
 
+def pad_stream(buf: bytes) -> np.ndarray:
+    """One-byte-padded u8 view of a stream for the native walker (its
+    2-byte header loads may touch one byte past the region end; bounds
+    are enforced against the REAL length inside). Build this ONCE when
+    walking many segments of the same buffer — ``buf + b"\\x00"`` copies
+    the whole stream."""
+    data = np.empty(len(buf) + 1, dtype=np.uint8)
+    data[:-1] = np.frombuffer(buf, dtype=np.uint8)
+    data[-1] = 0
+    return data
+
+
 def walk_headers_native(buf: bytes, start: int, ngroups: int, ndims: int,
-                        elem_sz: int, lowdim: bool):
+                        elem_sz: int, lowdim: bool,
+                        padded: np.ndarray | None = None):
     """Native walk_headers; returns (widths, offsets, out_rows, total_rows,
     tail_offset) or None if the native lib is unavailable.
 
@@ -100,19 +113,19 @@ def walk_headers_native(buf: bytes, start: int, ngroups: int, ndims: int,
     lib = get_lib()
     if lib is None:
         return None
-    # pad by one byte: header field loads read 2 bytes and may touch one
-    # byte past the region end; bounds are enforced against the REAL
-    # length inside the walker
-    data = np.frombuffer(buf + b"\x00", dtype=np.uint8)
+    data = pad_stream(buf) if padded is None else padded
     ndata_max = int(ngroups) * 2
-    widths = np.empty((max(ndata_max, 1), ndims), dtype=np.int32)
+    # u8 widths (max legal width is 16): 4x less walk/compact traffic and
+    # 4x less host->device transfer than int32
+    widths = np.empty((max(ndata_max, 1), ndims), dtype=np.uint8)
     offsets = np.empty(max(ndata_max, 1), dtype=np.int64)
     out_rows = np.empty(max(ndata_max, 1), dtype=np.int64)
     meta = np.zeros(3, dtype=np.int64)
     fn = lib.sprintz_walk_headers
     fn.restype = ctypes.c_int64
     ndata = fn(
-        data.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(len(buf)),
+        data.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(data.size - 1),
         ctypes.c_int64(start),
         ctypes.c_int64(ngroups), ctypes.c_int32(ndims),
         ctypes.c_int32(elem_sz), ctypes.c_int32(int(lowdim)),
@@ -128,6 +141,91 @@ def walk_headers_native(buf: bytes, start: int, ngroups: int, ndims: int,
             "inconsistent metadata")
     return (widths[:ndata].copy(), offsets[:ndata].copy(),
             out_rows[:ndata].copy(), int(meta[1]), int(meta[2]))
+
+
+def walk_headers_parallel_native(buf: bytes, byte_offsets: np.ndarray,
+                                 row_offsets: np.ndarray,
+                                 every_groups: int, ngroups: int,
+                                 ndims: int, elem_sz: int, lowdim: bool):
+    """Native segment-parallel walk (std::threads over sidecar
+    checkpoints). Same contract as walk_headers_native, or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "sprintz_walk_headers_parallel"):
+        return None
+    data = pad_stream(buf)
+    nseg = len(byte_offsets)
+    ndata_max = int(ngroups) * 2
+    widths = np.empty((max(ndata_max, 1), ndims), dtype=np.uint8)
+    offsets = np.empty(max(ndata_max, 1), dtype=np.int64)
+    out_rows = np.empty(max(ndata_max, 1), dtype=np.int64)
+    meta = np.zeros(3, dtype=np.int64)
+    bo = np.ascontiguousarray(byte_offsets, np.int64)
+    ro = np.ascontiguousarray(row_offsets, np.int64)
+    fn = lib.sprintz_walk_headers_parallel
+    fn.restype = ctypes.c_int64
+    ndata = fn(
+        data.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(data.size - 1),
+        bo.ctypes.data_as(ctypes.c_void_p),
+        ro.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(nseg), ctypes.c_int64(every_groups),
+        ctypes.c_int64(ngroups), ctypes.c_int32(ndims),
+        ctypes.c_int32(elem_sz), ctypes.c_int32(int(lowdim)),
+        widths.ctypes.data_as(ctypes.c_void_p),
+        offsets.ctypes.data_as(ctypes.c_void_p),
+        out_rows.ctypes.data_as(ctypes.c_void_p),
+        meta.ctypes.data_as(ctypes.c_void_p))
+    if ndata < 0:
+        from .errors import CorruptStreamError
+
+        raise CorruptStreamError(
+            "stream walk overran the buffer" if ndata == -1 else
+            "sidecar inconsistent with stream: segment row counts do not "
+            "stitch to the recorded row offsets")
+    return (widths[:ndata].copy(), offsets[:ndata].copy(),
+            out_rows[:ndata].copy(), int(meta[1]), int(meta[2]))
+
+
+def gather_blocks_native(buf: bytes, offsets: np.ndarray, rb: np.ndarray,
+                         out: np.ndarray) -> bool:
+    """Rowmajor block gather: 8 rows of rb[i] bytes at offsets[i] ->
+    out[i] (ndata, 8, maxb). Unit indices computed inline in C (the
+    generic path built ~3x-payload-size numpy index arrays first)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "sprintz_gather_blocks"):
+        return False
+    offs = np.ascontiguousarray(offsets, np.int64)
+    rb = np.ascontiguousarray(rb, np.int64)
+    data = np.frombuffer(buf, dtype=np.uint8)
+    fn = lib.sprintz_gather_blocks
+    fn.restype = ctypes.c_int64
+    rc = fn(data.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(len(buf)),
+            offs.ctypes.data_as(ctypes.c_void_p),
+            rb.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int64(out.shape[0]), ctypes.c_int64(out.shape[2]),
+            out.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(out.nbytes))
+    return rc == 0
+
+
+def gather_dims_native(buf: bytes, offsets: np.ndarray, widths: np.ndarray,
+                       out: np.ndarray) -> bool:
+    """Lowdim block gather: ndims sections of widths[i, d] bytes each ->
+    out[i] (ndata, D, EB)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "sprintz_gather_dims"):
+        return False
+    offs = np.ascontiguousarray(offsets, np.int64)
+    w = np.ascontiguousarray(widths, np.int32)
+    data = np.frombuffer(buf, dtype=np.uint8)
+    fn = lib.sprintz_gather_dims
+    fn.restype = ctypes.c_int64
+    rc = fn(data.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(len(buf)),
+            offs.ctypes.data_as(ctypes.c_void_p),
+            w.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int64(out.shape[0]), ctypes.c_int32(out.shape[1]),
+            ctypes.c_int64(out.shape[2]),
+            out.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(out.nbytes))
+    return rc == 0
 
 
 def gather_units_native(buf: bytes, unit_src: np.ndarray,

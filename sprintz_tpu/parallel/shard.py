@@ -264,31 +264,98 @@ def _shard_map_rows_cached(mesh: Mesh, elem_sz: int, codec: str):
     return jax.jit(mapped)
 
 
+def _shard_decode_timeline(dense_k, widths_k, src_k, state_k, *, codec,
+                           elem_sz, lowdim, use_state):
+    """Per-device fused decode: unpack + block-gather timeline + local
+    reconstruction. Everything heavy stays on this shard — no host
+    scatter, no full-array replication (VERDICT r2 item 4).
+
+    dense_k: (nb_per, 8|D, MAXB|EB) i32 payload bytes of the data blocks
+    whose rows fall in this shard's timeline span; src_k: (nbt_per,) i32
+    local data-block index per timeline block (nb_per = run/pad
+    sentinel -> zero errors); state_k: (3, D) forecaster state entering
+    the span (used when ``use_state``: FIRE with sidecar checkpoints —
+    no serial cross-device chain).
+    """
+    from .. import decoder as _dec
+    from ..models.forecasters import fire_decode
+
+    eb = 8 * elem_sz
+    d = dense_k.astype(jnp.int32)
+    w = widths_k.astype(jnp.int32)
+    if lowdim:
+        errs = _dec._unpack_lowdim_best(d, w)
+    else:
+        errs = unpack_rows_rowmajor(d, w)
+    nb, _, ndims = errs.shape
+    errs_pad = jnp.concatenate(
+        [errs, jnp.zeros((1, BLOCK_SZ, ndims), errs.dtype)])
+    full = errs_pad[src_k].reshape(src_k.shape[0] * BLOCK_SZ, ndims)
+    if codec == "delta":
+        deltas = zigzag_decode(full, eb)
+        local = jnp.cumsum(deltas, axis=0, dtype=jnp.int32)
+        # exclusive cross-shard prefix of per-shard sums (padding rows
+        # contribute zero delta, so uneven spans stay exact); rides ICI
+        shard_sum = local[-1]
+        all_sums = jax.lax.all_gather(shard_sum, "dp")
+        my = jax.lax.axis_index("dp")
+        prefix = jnp.where((jnp.arange(all_sums.shape[0]) < my)[:, None],
+                           all_sums, 0).sum(axis=0)
+        vals = (local + prefix[None, :]) & ((1 << eb) - 1)
+    elif use_state:
+        # sidecar states make shards independent: each enters at its
+        # recorded (prev, prev_delta, counter) — the multi-chip
+        # realization of jump() (online.hpp:126-132), replacing the
+        # n_dev-times-redundant serial ppermute chain
+        vals = fire_decode(full, eb, truncate_coeffs=not lowdim,
+                           init_state=(state_k[0], state_k[1], state_k[2]))
+    else:
+        vals = _fire_chain(full, eb, decode=True,
+                           truncate_coeffs=not lowdim)
+    return vals.astype(jnp.uint8 if elem_sz == 1 else jnp.uint16)
+
+
 @functools.lru_cache(maxsize=None)
-def _shard_map_unpack_cached(mesh: Mesh):
+def _shard_map_timeline_cached(mesh: Mesh, codec: str, elem_sz: int,
+                               lowdim: bool, use_state: bool):
+    f = functools.partial(_shard_decode_timeline, codec=codec,
+                          elem_sz=elem_sz, lowdim=lowdim,
+                          use_state=use_state)
     mapped = jax.shard_map(
-        unpack_rows_rowmajor, mesh=mesh, in_specs=(P("dp"), P("dp")),
+        f, mesh=mesh,
+        in_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
         out_specs=P("dp"))
     return jax.jit(mapped)
 
 
 def dp_decompress(mesh: Mesh, buf: bytes, codec: str = "delta",
-                  elem_sz: int = 1) -> np.ndarray:
+                  elem_sz: int = 1, sidecar=None, out: str = "numpy"):
     """Sharded decode of a real compressed stream (north-star decode side).
 
-    Pipeline (SURVEY §2.10 decode plan):
-    1. host: sequential header walk (native) -> block index;
-    2. device, sharded over BLOCKS: payload unpack (MXU matmuls);
-    3. timeline scatter of block errors (run rows stay zero);
-    4. device, sharded over ROWS: delta = local cumsum + all-gather
-       prefix fixup; xff = serial ppermute state chain (exact).
+    Pipeline (SURVEY §2.10 decode plan; VERDICT r2 item 4):
+    1. host: header walk — segment-parallel (threaded native walkers)
+       when a sidecar provides checkpoint offsets, serial otherwise;
+    2. host: native payload gather into the dense block buffer;
+    3. device, ONE shard_map over the row timeline: per-shard payload
+       unpack (MXU matmuls) + block-gather timeline (run rows = zero
+       errors, no host scatter) + reconstruction — delta via local
+       cumsum + all-gather prefix fixup over ICI; FIRE via per-shard
+       sidecar states (independent shards) or, without a sidecar, the
+       exact serial ppermute chain.
 
-    Output is bit-identical to ``decoder.decompress``. Row-major streams
-    only (lowdim streams are small-dim; shard those across streams).
+    Shard spans follow sidecar checkpoint rows for FIRE (states are only
+    known there) and split evenly otherwise. Output is bit-identical to
+    ``decoder.decompress``. Works for row-major AND lowdim layouts.
+
+    ``out="numpy"`` returns the flat element array (host-gathered);
+    ``out="sharded"`` returns ``(vals, spans, total_rows, tail)`` with
+    ``vals`` the global sharded device array ((n_dev * rows_per, D),
+    rows_per*k + [0, spans[k]) valid) — no full-array replication.
     """
     from .. import decoder as _dec
-    from ..constants import METADATA_LEN_RLE, MIN_DATA_SIZE
+    from ..constants import LOWDIM_MAX_NDIMS, METADATA_LEN_RLE, MIN_DATA_SIZE
     from ..golden.stream import read_metadata_rle
+    from ..utils.shapes import next_bucket
 
     udt = np.uint8 if elem_sz == 1 else np.uint16
     ngroups, remaining_len, ndims = read_metadata_rle(buf)
@@ -296,32 +363,77 @@ def dp_decompress(mesh: Mesh, buf: bytes, codec: str = "delta",
         return np.frombuffer(buf, dtype=udt, count=remaining_len,
                              offset=METADATA_LEN_RLE).copy()
     n_dev = mesh.devices.size
-    idx = _dec.walk_headers(buf, ngroups, ndims, elem_sz, lowdim=False)
-    dense = _dec.gather_payloads(buf, idx, ndims, elem_sz, False)
+    lowdim = ndims <= LOWDIM_MAX_NDIMS[elem_sz]
+    if sidecar is not None:
+        idx = _dec.walk_headers_parallel(
+            buf, ngroups, ndims, elem_sz, sidecar.byte_offsets,
+            sidecar.row_offsets, sidecar.every_groups, lowdim=lowdim)
+    else:
+        idx = _dec.walk_headers(buf, ngroups, ndims, elem_sz, lowdim=lowdim)
+    dense = _dec.gather_payloads(buf, idx, ndims, elem_sz, lowdim)
     ndata = idx.widths.shape[0]
-
-    body = np.zeros((0, ndims), dtype=udt)
-    if idx.total_rows:
-        # phase 1: unpack, sharded over blocks
-        nb_pad = -(-max(ndata, 1) // n_dev) * n_dev
-        dense_p = np.zeros((nb_pad,) + dense.shape[1:], dense.dtype)
-        dense_p[:ndata] = dense
-        widths_p = np.zeros((nb_pad, ndims), np.int32)
-        widths_p[:ndata] = idx.widths
-        errs = _gather(_shard_map_unpack_cached(mesh)(
-            np.asarray(dense_p, np.int32), widths_p))
-
-        # phase 2: timeline scatter (host) + row-sharded reconstruction
-        rows_pad = -(-idx.total_rows // (n_dev * BLOCK_SZ)) * n_dev * BLOCK_SZ
-        full = np.zeros((rows_pad, ndims), np.int32)
-        row_idx = (idx.out_rows[:, None] + np.arange(BLOCK_SZ)[None, :]
-                   ).reshape(-1)
-        full[row_idx] = errs[:ndata].reshape(ndata * BLOCK_SZ, ndims)
-        vals = _gather(_shard_map_rows_cached(mesh, elem_sz, codec)(full))
-        body = vals[: idx.total_rows].astype(udt)
-
     tail = np.frombuffer(buf, dtype=udt, count=remaining_len,
                          offset=idx.tail_offset)
+    if idx.total_rows == 0:
+        return tail.copy()
+
+    nbt = -(-idx.total_rows // BLOCK_SZ)
+    use_state = codec == "xff" and sidecar is not None and len(
+        sidecar.row_offsets) > 1
+    if use_state:
+        # shard boundaries snap to checkpoint rows (states known there)
+        targets = (np.arange(1, n_dev) * nbt * BLOCK_SZ) // n_dev
+        ck = np.unique(np.searchsorted(
+            sidecar.row_offsets, targets, side="right") - 1)
+        ck = ck[ck > 0]
+        brows = np.concatenate(
+            [[0], sidecar.row_offsets[ck],
+             np.full(n_dev - 1 - len(ck), nbt * BLOCK_SZ),
+             [nbt * BLOCK_SZ]]).astype(np.int64)
+        states = np.zeros((n_dev, 3, ndims), np.int32)
+        states[1 : 1 + len(ck), : sidecar.states.shape[1]] = \
+            sidecar.states[ck]
+    else:
+        per = -(-nbt // n_dev)
+        brows = np.minimum(np.arange(n_dev + 1) * per, nbt) * BLOCK_SZ
+        states = np.zeros((n_dev, 3, ndims), np.int32)
+    spans = np.diff(brows)
+
+    # per-shard data blocks: out_rows is sorted, so each shard's blocks
+    # are one contiguous slice
+    lo = np.searchsorted(idx.out_rows, brows[:-1], side="left")
+    hi = np.searchsorted(idx.out_rows, brows[1:], side="left")
+    nb_per = next_bucket(max(int((hi - lo).max()), 1))
+    if use_state or codec == "delta":
+        # padding at shard tails is harmless (zero deltas / per-shard
+        # states), so bucket for jit reuse
+        nbt_per = next_bucket(max(int(-(-spans.max() // BLOCK_SZ)), 1))
+    else:
+        # FIRE without sidecar rides the serial state chain: inner
+        # shards must be UNPADDED (zero-error padding blocks would
+        # advance the carried state), so spans stay exact — padding
+        # lands only on the final shard's tail
+        nbt_per = max(int(-(-spans.max() // BLOCK_SZ)), 1)
+    dense_s = np.zeros((n_dev, nb_per) + dense.shape[1:], np.uint8)
+    widths_s = np.zeros((n_dev, nb_per, ndims), np.int32)
+    src_s = np.full((n_dev, nbt_per), nb_per, np.int32)
+    for k in range(n_dev):
+        nk = hi[k] - lo[k]
+        dense_s[k, :nk] = dense[lo[k] : hi[k]]
+        widths_s[k, :nk] = idx.widths[lo[k] : hi[k]]
+        tb = (idx.out_rows[lo[k] : hi[k]] - brows[k]) // BLOCK_SZ
+        src_s[k, tb] = np.arange(nk, dtype=np.int32)
+
+    fn = _shard_map_timeline_cached(mesh, codec, elem_sz, lowdim, use_state)
+    vals = fn(dense_s.reshape((n_dev * nb_per,) + dense.shape[1:]),
+              widths_s.reshape(n_dev * nb_per, ndims),
+              src_s.reshape(-1),
+              states.reshape(n_dev * 3, ndims))
+    if out == "sharded":
+        return vals, spans, idx.total_rows, tail
+    vals = _gather(vals).reshape(n_dev, nbt_per * BLOCK_SZ, ndims)
+    body = np.concatenate(
+        [vals[k, : spans[k]] for k in range(n_dev)]).astype(udt)
     return np.concatenate([body.reshape(-1), tail])
 
 

@@ -103,6 +103,25 @@ def test_decompress_batch_runs_streams(rng, codec, D):
         np.testing.assert_array_equal(got, x)
 
 
+@pytest.mark.parametrize("codec", ["delta", "xff"])
+def test_ragged_decode_matches(rng, codec, monkeypatch):
+    """SPRINTZ_RAGGED_DECODE=1 (ragged-dot unpack over signature-sorted
+    blocks) must decode identically on contiguous and runs streams."""
+    D = 64
+    for kind in ("contig", "runs"):
+        seg = rng.integers(-6, 7, (3000, D))
+        if kind == "runs":
+            seg[(np.arange(3000) // 64 % 3 == 0)] = 0
+        x = (np.cumsum(seg, axis=0) % 256).astype(np.uint8).reshape(-1)
+        buf = encoder.compress(x, D, codec=codec)
+        want = decoder.decompress(buf, codec=codec, elem_sz=1)
+        monkeypatch.setenv("SPRINTZ_RAGGED_DECODE", "1")
+        got = decoder.decompress(buf, codec=codec, elem_sz=1)
+        monkeypatch.delenv("SPRINTZ_RAGGED_DECODE")
+        np.testing.assert_array_equal(got, want, err_msg=f"{codec}/{kind}")
+        np.testing.assert_array_equal(got, x)
+
+
 def test_maxb_bucket_mult8_matches(rng, monkeypatch):
     """SPRINTZ_MAXB_BUCKET=mult8 sizes the dense unpack buffer to the
     next multiple of 8 above the stream's max row bytes (vs pow2);

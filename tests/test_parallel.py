@@ -112,6 +112,72 @@ def test_dp_decompress_from_stream(rng, mesh8, codec, elem_sz):
             out, decoder.decompress(buf, codec=codec, elem_sz=elem_sz))
 
 
+@pytest.mark.parametrize("codec,D,elem_sz", [
+    ("delta", 4, 1), ("xff", 4, 1), ("xff", 2, 2)])
+def test_dp_decompress_lowdim(rng, mesh8, codec, D, elem_sz):
+    """Sharded decode of lowdim (column-major) streams — previously
+    rowmajor-only (VERDICT r2 item 4)."""
+    from sprintz_tpu import decoder, encoder
+    from sprintz_tpu.parallel import shard
+
+    dt = np.uint8 if elem_sz == 1 else np.uint16
+    x = (np.cumsum(rng.integers(-3, 4, (4000, D)), axis=0)
+         % (1 << (8 * elem_sz))).astype(dt)
+    x[500:900] = x[499]  # RLE region
+    flat = x.reshape(-1)
+    buf = encoder.compress(flat, D, codec=codec)
+    out = shard.dp_decompress(mesh8, buf, codec=codec, elem_sz=elem_sz)
+    np.testing.assert_array_equal(out, flat)
+
+
+def test_dp_decompress_sidecar_states(rng, mesh8):
+    """FIRE dp decode with a sidecar: shards enter at checkpoint states
+    (no serial ppermute chain) and the segment-parallel header walk
+    stitches exactly."""
+    from sprintz_tpu import checkpoint
+    from sprintz_tpu.parallel import shard
+
+    D = 16
+    x = (np.cumsum(rng.integers(-5, 6, (6000, D)), axis=0) % 256
+         ).astype(np.uint8)
+    x[2000:2600] = x[1999]  # a run region crossing shard boundaries
+    flat = x.reshape(-1)
+    buf, sc = checkpoint.compress_with_sidecar(
+        flat, D, codec="xff", every_groups=4)
+    out = shard.dp_decompress(mesh8, buf, codec="xff", elem_sz=1,
+                              sidecar=sc)
+    np.testing.assert_array_equal(out, flat)
+    # sharded output mode: no host replication of the full array
+    vals, spans, total_rows, tail = shard.dp_decompress(
+        mesh8, buf, codec="xff", elem_sz=1, sidecar=sc, out="sharded")
+    assert int(spans.sum()) == total_rows
+    per = vals.shape[0] // 8
+    body = np.concatenate(
+        [np.asarray(vals[k * per : k * per + spans[k]]) for k in range(8)])
+    np.testing.assert_array_equal(
+        np.concatenate([body.reshape(-1), tail]), flat)
+
+
+def test_walk_headers_parallel_matches_serial(rng):
+    from sprintz_tpu import checkpoint, decoder, encoder
+    from sprintz_tpu.golden.stream import read_metadata_rle
+
+    D = 8
+    x = np.where(rng.random((3000, D)) < 0.1,
+                 rng.integers(0, 200, (3000, D)), 0).astype(np.uint8)
+    buf, sc = checkpoint.compress_with_sidecar(
+        x.reshape(-1), D, codec="delta", every_groups=4)
+    ng, _, _ = read_metadata_rle(buf)
+    a = decoder.walk_headers(buf, ng, D, 1, lowdim=False)
+    b = decoder.walk_headers_parallel(
+        buf, ng, D, 1, sc.byte_offsets, sc.row_offsets, sc.every_groups,
+        lowdim=False)
+    np.testing.assert_array_equal(a.widths, b.widths)
+    np.testing.assert_array_equal(a.payload_offsets, b.payload_offsets)
+    np.testing.assert_array_equal(a.out_rows, b.out_rows)
+    assert (a.total_rows, a.tail_offset) == (b.total_rows, b.tail_offset)
+
+
 def test_multihost_framing_single_process():
     """Single-process degradation of the multi-host helpers."""
     from sprintz_tpu.parallel import multihost
