@@ -20,8 +20,10 @@ communicate/method.tex:300-303) with a TPU-native design:
     * code length: bit-reverse the 12-bit peek and compare against the 11
       canonical level boundaries (no 4096-entry LUT),
     * symbol: the scan emits canonical symbol *indices*; the index ->
-      symbol permutation runs afterwards in bulk as an exact-bf16
-      nibble-split one-hot matmul on the MXU (ops/pack.py's trick).
+      symbol permutation runs afterwards in bulk as a bit-sliced
+      truth-table lookup (fused elementwise VPU ops on full 128-lane
+      tiles — one-hot matmuls with 16/256-wide minor dims measured an
+      8x lane-padding traffic bloat on device, session 24).
   The native C++ loop serves host-only processes; a numpy fallback
   decodes chunk-vectorized.
 
@@ -381,9 +383,13 @@ def device_decode_prep(buf: bytes):
     w32 += (-w32) % 8  # mult-of-8 bucket: jit reuse without pow2 blowup
     nc_pad = next_bucket(max(nchunks, 1), minimum=8)
     dense = _dense_payloads(data, offsets, sizes, w32 * 4, nc_pad=nc_pad)
-    words = dense.reshape(nc_pad, w32, 4).view(np.uint32)[..., 0]
+    # (W, C) layout: every (., C) slice in the kernel is full-lane minor
+    # (a (C, W<=136)-minor layout pads each row to 128 lanes)
+    words = np.ascontiguousarray(
+        dense.reshape(nc_pad, w32, 4).view(np.uint32)[..., 0].T)
     limits, adj, perm = t.canonical_tables()
-    return words, (limits, adj, perm), chunk_symbols, nchunks, n
+    perm_tt = pack_truth_tables(perm, 8)
+    return words, (limits, adj, perm_tt), chunk_symbols, nchunks, n
 
 
 def _decode_jax(buf, n, chunk_symbols, nchunks, t, sizes, offsets):
@@ -405,6 +411,45 @@ def _rev12(x):
     return x >> 4
 
 
+def pack_truth_tables(values: np.ndarray, nbits: int) -> np.ndarray:
+    """(256,)-entry lookup table -> (nbits, 8) uint32 bit-sliced truth
+    tables for _bitslice_lookup: bit k of values[i] lives at bit (i & 31)
+    of word [k, i >> 5]."""
+    t = np.zeros((nbits, 8), dtype=np.uint32)
+    v = values.astype(np.int64)
+    for k in range(nbits):
+        bits = (v >> k) & 1
+        t[k] = np.packbits(
+            bits.astype(np.uint8).reshape(8, 32), axis=1,
+            bitorder="little").view(np.uint32)[:, 0]
+    return t
+
+
+def _bitslice_lookup(idx, tables, nbits: int):
+    """Arbitrary 256-entry table lookup as pure elementwise VPU ops.
+
+    One-hot matmul lookups materialize (N, 16..256) one-hots whose tiny
+    minor dims pad to 128 lanes (session-11 cost map: 8-32x traffic
+    bloat — measured as the round-3 device Huffman bottleneck); a
+    scatter/gather would scalarize. Instead each OUTPUT BIT is a 256-bit
+    truth table in 8 u32 words: select the word with a 7-deep where
+    chain on idx>>5, shift by idx&31 — ~12 fused elementwise ops per
+    output bit, any shape, no padding. idx: int32 in [0, 256);
+    tables: (nbits, 8) uint32.
+    """
+    import jax.numpy as jnp
+
+    wsel = idx >> 5
+    sh = (idx & 31).astype(jnp.uint32)
+    out = jnp.zeros(idx.shape, jnp.int32)
+    for k in range(nbits):
+        w = jnp.broadcast_to(tables[k, 0], idx.shape)
+        for j in range(1, 8):
+            w = jnp.where(wsel == j, tables[k, j], w)
+        out = out | (((w >> sh) & 1) << k).astype(jnp.int32)
+    return out
+
+
 def _make_decode_device():
     import functools
 
@@ -412,19 +457,21 @@ def _make_decode_device():
     import jax.numpy as jnp
 
     @functools.partial(jax.jit, static_argnames=("chunk_symbols",))
-    def decode_device(words, limits, adj, perm, chunk_symbols):
+    def decode_device(words, limits, adj, perm_tt, chunk_symbols):
         """Gather-free chunk-parallel canonical Huffman decode.
 
-        words: (C, W) uint32 little-endian payload words per chunk;
-        limits/adj/perm: canonical_tables(); returns (C, chunk_symbols)
+        words: (W, C) uint32 little-endian payload words per chunk
+        (lane-major: every slice the kernel touches has the huge C axis
+        minor — full 128-lane tiles); limits/adj: canonical_tables();
+        perm_tt: pack_truth_tables(perm, 8). Returns (C, chunk_symbols)
         uint8 symbols (junk past each chunk's true payload — callers
-        slice). Every op is elementwise/reduce/matmul on (C,)- or
-        (C, W)-shaped arrays: no per-lane indexed gathers anywhere
-        (CLAUDE.md scalarization hazard). lax.scan steps = symbols/2.
+        slice). Every op is elementwise/reduce on full-minor arrays: no
+        per-lane indexed gathers (CLAUDE.md scalarization hazard), no
+        small-minor one-hots (session-11 padding cliff). lax.scan steps
+        = symbols/2.
         """
-        C, W = words.shape
+        W, C = words.shape
         steps = (chunk_symbols + 1) // 2
-        wiota = jnp.arange(W, dtype=jnp.int32)[None, :]
 
         def decode1(lo, hi, nbits):
             v = _rev12(lo & 0xFFF).astype(jnp.int32)
@@ -436,7 +483,7 @@ def _make_decode_device():
                 a = a + jnp.where(L == li, adj[li], 0)
             idx = jax.lax.shift_right_logical(
                 v, MAX_CODE_LEN - L) + a
-            idx = jnp.clip(idx, 0, 255)  # junk peeks stay in perm range
+            idx = jnp.clip(idx, 0, 255)  # junk peeks stay in range
             Lu = L.astype(jnp.uint32)
             lo = (lo >> Lu) | (hi << (32 - Lu))  # 1 <= L <= 12
             hi = hi >> Lu
@@ -445,10 +492,12 @@ def _make_decode_device():
         def step(carry, _):
             lo, hi, nbits, widx = carry
             # branchless refill: ONE u32 per step keeps >= 24 bits
-            # banked before decoding two <= 12-bit symbols
+            # banked before decoding two <= 12-bit symbols. The select
+            # chain over the static W words replaces a per-lane gather.
             need = nbits < 24
-            w = jnp.sum(jnp.where(wiota == widx[:, None], words, 0),
-                        axis=1)  # select-accumulate, not a gather
+            w = jnp.zeros(C, jnp.uint32)
+            for wi in range(W):
+                w = jnp.where(widx == wi, words[wi], w)
             nb_u = nbits.astype(jnp.uint32)
             lo = jnp.where(need, lo | (w << nb_u), lo)
             # (w >> 1) >> (31 - nbits) == w >> (32 - nbits), and stays
@@ -467,20 +516,10 @@ def _make_decode_device():
         p = packed.T  # (C, steps)
         idx = jnp.stack([p & 255, (p >> 8) & 255], -1).reshape(
             C, 2 * steps)[:, :chunk_symbols]
-        # canonical index -> symbol: nibble-split exact-bf16 one-hot
-        # matmul against the (16, 16) permutation (ops/pack.py's trick)
-        pm = perm.reshape(16, 16).astype(jnp.bfloat16)
-        oh = (
-            (idx >> 4)[..., None] == jnp.arange(16, dtype=jnp.int32)
-        ).astype(jnp.bfloat16)
-        cand = jax.lax.dot_general(
-            oh, pm, dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (C, cs, 16), exact
-        lo4 = idx & 15
-        sym = jnp.zeros(idx.shape, jnp.int32)
-        for nib in range(16):
-            sym = sym + jnp.where(
-                lo4 == nib, cand[..., nib].astype(jnp.int32), 0)
+        # canonical index -> symbol: bit-sliced truth-table lookup
+        # (fused elementwise, full tiles; the nibble one-hot matmul
+        # measured 8x minor-dim padding bloat on device)
+        sym = _bitslice_lookup(idx, perm_tt, 8)
         return sym.astype(jnp.uint8)
 
     return decode_device
@@ -505,33 +544,25 @@ def _make_encode_device():
     import jax.numpy as jnp
 
     @jax.jit
-    def encode_device(syms, lut_packed):
+    def encode_device(syms, lut_tt):
         """Device Huffman encode pass: lanes = chunks.
 
         syms: (C, cs) int32 symbols (pad value 256 -> zero-length code);
-        lut_packed: (16, 17) float32, [hi, lo] = code | len << 12 of
-        symbol 16*hi+lo (column 16 = the pad code, 0). Returns
+        lut_tt: pack_truth_tables(codes | lengths << 12, 16). Returns
         (words (steps, C) int32 = u16 payload word | valid << 16,
          acc (C,) int32 final partial word, nbits (C,) int32 its bits).
 
-        Per-symbol (code, len) rides ONE exact-f32 nibble matmul: both
-        fit 16 bits, exact in f32 (< 2^24); the append scan then emits
-        one little-endian u16 word whenever 16 bits accumulate — i.e.
-        byte-identical LSB-first emission to the native C++ loop.
+        Per-symbol (code, len) comes from the bit-sliced truth-table
+        lookup (fused elementwise, full tiles, and exact — the earlier
+        one-hot matmul against an f32 table downcast to bf16 inside the
+        MXU dot on device, corrupting codes > 8 significant bits); the
+        append scan then emits one little-endian u16 word whenever 16
+        bits accumulate — byte-identical LSB-first emission to the
+        native C++ loop.
         """
         C, cs = syms.shape
-        hi = syms >> 4
-        oh = (hi[..., None] == jnp.arange(16, dtype=jnp.int32)
-              ).astype(jnp.bfloat16)
-        cand = jax.lax.dot_general(
-            oh, lut_packed.astype(jnp.float32),
-            dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (C, cs, 17)
-        lo4 = jnp.where(syms > 255, 16, syms & 15)
-        packed = jnp.zeros(syms.shape, jnp.int32)
-        for nib in range(17):
-            packed = packed + jnp.where(
-                lo4 == nib, cand[..., nib].astype(jnp.int32), 0)
+        packed = jnp.where(
+            syms > 255, 0, _bitslice_lookup(syms & 255, lut_tt, 16))
         xs = packed.T  # (cs, C): scan steps read static slices
 
         def step(carry, p):
@@ -564,12 +595,10 @@ def get_encode_device():
 
 
 def encode_lut_packed(t: HuffmanTable) -> np.ndarray:
-    """(16, 17) float32 nibble-matmul LUT for encode_device."""
-    lut = np.zeros((16, 17), dtype=np.float32)
-    packed = (t.codes.astype(np.int64)
-              | (t.lengths.astype(np.int64) << 12)).reshape(16, 16)
-    lut[:, :16] = packed
-    return lut
+    """(16, 8) uint32 truth-table LUT (code | len << 12, 16 bits) for
+    encode_device."""
+    packed = t.codes.astype(np.int64) | (t.lengths.astype(np.int64) << 12)
+    return pack_truth_tables(packed, 16)
 
 
 def huff_compress_device(data: np.ndarray | bytes,
