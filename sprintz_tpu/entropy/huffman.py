@@ -393,13 +393,34 @@ def device_decode_prep(buf: bytes):
 
 
 def _decode_jax(buf, n, chunk_symbols, nchunks, t, sizes, offsets):
-    """Chunk-parallel device decode: lanes = chunks, 2 symbols per step."""
+    """Chunk-parallel device decode: lanes = chunks, 2 symbols per step.
+
+    On TPU the Pallas kernel (pallas_huffman.py) handles tileable chunk
+    counts — its refill select reads VMEM-resident words instead of
+    re-reading the word buffer from HBM every scan step. The XLA scan
+    covers everything else (small streams, big chunk_symbols, CPU).
+    SPRINTZ_HUFF_DEVICE=xla|pallas forces a path.
+    """
     words, tables, cs, nchunks, n = device_decode_prep(buf)
     import jax.numpy as jnp
 
+    from . import pallas_huffman as ph
+
+    mode = os.environ.get("SPRINTZ_HUFF_DEVICE", "auto")
+    use_pallas = ph.decode_pallas_available(words.shape[1], cs) and (
+        mode == "pallas"
+        or (mode == "auto" and _pallas_on_accelerator()))
+    if use_pallas:
+        return ph.decode_jax_pallas(words, tables, cs, nchunks, n)
     out = get_decode_device()(
         jnp.asarray(words), *(jnp.asarray(x) for x in tables), cs)
     return np.asarray(out[:nchunks]).reshape(-1)[:n].astype(np.uint8)
+
+
+def _pallas_on_accelerator() -> bool:
+    from ..ops.pallas_pack import _on_tpu
+
+    return _on_tpu()
 
 
 def _rev12(x):

@@ -131,3 +131,29 @@ def test_plus_huf_api(rng):
     b0, b1 = plain.compress(x), huf.compress(x)
     np.testing.assert_array_equal(huf.decompress(b1), x.reshape(-1))
     assert len(b1) < len(b0)  # entropy stage helps on smooth data
+
+
+@pytest.mark.parametrize("cs", [8, 16])
+def test_pallas_decode_interpret(rng, cs):
+    """The Pallas kernel (interpret mode on CPU) must match the scan
+    kernel and the host decoders bit-for-bit, including the final
+    partial chunk's junk-peek region.
+
+    Tiny chunk_symbols only: the statically-unrolled kernel at
+    production sizes (cs 64+, W 16+) sends XLA:CPU's LLVM into a
+    multi-minute compile (same pathology as the backend-gated scan
+    unroll, CLAUDE.md) — the TPU compile is fine and is exercised by
+    tools/tpu_session26.py. All three data shapes share one compile
+    per cs (identical padded shapes)."""
+    import sprintz_tpu.entropy.huffman as hf
+    from sprintz_tpu.entropy import pallas_huffman as ph
+
+    for kind in ("rand", "small", "sparse"):
+        data = make_stream(rng, cs * 1023 + cs // 2 + 1, 1, kind)
+        comp = huff_compress(data, chunk_symbols=cs)
+        words, tables, cs2, nchunks, n = hf.device_decode_prep(comp)
+        if not ph.decode_pallas_available(words.shape[1], cs2):
+            pytest.skip(f"chunk count {words.shape[1]} not lane-tileable")
+        out = ph.decode_jax_pallas(words, tables, cs2, nchunks, n,
+                                   interpret=True)
+        np.testing.assert_array_equal(out, data, err_msg=f"{kind} cs={cs}")
