@@ -170,35 +170,41 @@ def _group_index(buf: bytes, ngroups: int, ndims: int, elem_sz: int,
     return _GroupIndex(offs, rows, blocks, row)
 
 
-def decompress_parallel(buf: bytes, sidecar: Sidecar) -> np.ndarray:
-    """Chunk-parallel decode of a sidecar-equipped stream.
+@dataclasses.dataclass
+class _ParallelPrep:
+    """Host-side tensors for one _decode_pass_chunks launch."""
 
-    Splits the stream at the sidecar's checkpoints and decodes every
-    chunk concurrently in one vmapped device pass
-    (decoder._decode_pass_chunks) — each chunk enters at its recorded
-    forecaster state, so FIRE's serial recurrence only spans one chunk
-    instead of the whole stream. Byte format unchanged (the sidecar is
-    optional metadata); output equals ``decoder.decompress``.
-    Returns flat elements.
-    """
-    import jax.numpy as jnp
+    dense_c: np.ndarray  # (C, nb_pad, ...) u8 payload per chunk
+    widths_c: np.ndarray  # (C, nb_pad, D) i32
+    local_rows: np.ndarray  # (C, nb_pad) i32 block rows within chunk
+    states: np.ndarray  # (C, 3, D) i32 forecaster state per chunk
+    rows_pad: int
+    contiguous: bool
+    lowdim: bool
+    chunk_rows: np.ndarray  # (C,) true rows per chunk
+    tail_offset: int
+    remaining: int
 
+
+def _parallel_prep(buf: bytes, sidecar: Sidecar) -> _ParallelPrep | None:
+    """Shared prep for the chunk-parallel decode: walk, gather, and
+    regroup payload blocks by sidecar chunk. None -> caller should fall
+    back to the serial decoder (degenerate stream/sidecar)."""
     from . import decoder
     from .utils.shapes import next_bucket
 
     ngroups, remaining, ndims = read_metadata_rle(buf)
     assert ndims == sidecar.ndims
     elem_sz = sidecar.elem_sz
-    udt = np.uint8 if elem_sz == 1 else np.uint16
     if ngroups == 0:
-        return decoder.decompress(buf, sidecar.codec, elem_sz)
+        return None
     lowdim = ndims <= LOWDIM_MAX_NDIMS[elem_sz]
     idx = decoder.walk_headers_parallel(
         buf, ngroups, ndims, elem_sz, sidecar.byte_offsets,
         sidecar.row_offsets, sidecar.every_groups, lowdim=lowdim)
     ndata = idx.widths.shape[0]
     if ndata == 0 or len(sidecar.byte_offsets) <= 1:
-        return decoder.decompress(buf, sidecar.codec, elem_sz)
+        return None
     dense = decoder.gather_payloads(buf, idx, ndims, elem_sz, lowdim)
 
     C = len(sidecar.byte_offsets)
@@ -233,16 +239,43 @@ def decompress_parallel(buf: bytes, sidecar: Sidecar) -> np.ndarray:
 
     states = np.zeros((C, 3, ndims), np.int32)
     states[:, : sidecar.states.shape[1]] = sidecar.states
+    return _ParallelPrep(dense_c, widths_c, local_rows, states, rows_pad,
+                         contiguous, lowdim, chunk_rows, idx.tail_offset,
+                         remaining)
+
+
+def decompress_parallel(buf: bytes, sidecar: Sidecar) -> np.ndarray:
+    """Chunk-parallel decode of a sidecar-equipped stream.
+
+    Splits the stream at the sidecar's checkpoints and decodes every
+    chunk concurrently in one vmapped device pass
+    (decoder._decode_pass_chunks) — each chunk enters at its recorded
+    forecaster state, so FIRE's serial recurrence only spans one chunk
+    instead of the whole stream. Byte format unchanged (the sidecar is
+    optional metadata); output equals ``decoder.decompress``.
+    Returns flat elements.
+    """
+    import jax.numpy as jnp
+
+    from . import decoder
+
+    elem_sz = sidecar.elem_sz
+    udt = np.uint8 if elem_sz == 1 else np.uint16
+    prep = _parallel_prep(buf, sidecar)
+    if prep is None:
+        return decoder.decompress(buf, sidecar.codec, elem_sz)
 
     vals = decoder._decode_pass_chunks(
-        jnp.asarray(dense_c), jnp.asarray(widths_c),
-        jnp.asarray(local_rows), jnp.asarray(states),
-        sidecar.codec, elem_sz, lowdim, rows_pad, contiguous)
+        jnp.asarray(prep.dense_c), jnp.asarray(prep.widths_c),
+        jnp.asarray(prep.local_rows), jnp.asarray(prep.states),
+        sidecar.codec, elem_sz, prep.lowdim, prep.rows_pad,
+        prep.contiguous)
     vals = np.asarray(vals)
+    C = prep.dense_c.shape[0]
     body = np.concatenate(
-        [vals[c, : chunk_rows[c]] for c in range(C)]).astype(udt)
-    tail = np.frombuffer(buf, dtype=udt, count=remaining,
-                         offset=idx.tail_offset)
+        [vals[c, : prep.chunk_rows[c]] for c in range(C)]).astype(udt)
+    tail = np.frombuffer(buf, dtype=udt, count=prep.remaining,
+                         offset=prep.tail_offset)
     return np.concatenate([body.reshape(-1), tail])
 
 
