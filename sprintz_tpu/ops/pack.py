@@ -32,9 +32,11 @@ from ..constants import BLOCK_SZ
 
 _CHUNK = 8192  # blocks per one-hot chunk
 
-# opt-in Pallas kernels (ops/pallas_pack.py); measured at parity with the
-# XLA matmul path on v5e so far — flip the default when they win
-_USE_PALLAS = os.environ.get("SPRINTZ_USE_PALLAS") == "1"
+# opt-in Pallas kernels (ops/pallas_pack.py): "1" = the VPU
+# select-accumulate kernels (measured 4-5x slower on v5e, session 1),
+# "mxu" = the block-diagonal in-VMEM MXU-dot unpack (VERDICT r2 item 5
+# angle b). Flag is read at TRACE time.
+_USE_PALLAS = os.environ.get("SPRINTZ_USE_PALLAS", "0")
 
 # MXU number format for the exact-matmul kernels: "bf16" (one matmul,
 # weights in {1,256,65536}) or "s8" (v5e native s8*s8->s32 — half the
@@ -93,7 +95,7 @@ def pack_rows_rowmajor(errs_zz: jnp.ndarray, widths: jnp.ndarray,
     Returns dense (nb, 8, MAXB) uint8, MAXB = D * elem_sz; row r of block b
     occupies its first ceil(sum(widths[b])/8) bytes.
     """
-    if _USE_PALLAS:
+    if _USE_PALLAS == "1":
         from .pallas_pack import pack_rows_pallas
 
         return pack_rows_pallas(errs_zz, widths, elem_sz)
@@ -225,10 +227,14 @@ def unpack_rows_rowmajor(dense: jnp.ndarray, widths: jnp.ndarray
     dense: (nb, 8, MAXB) int32 bytes (payload rows, zero padded);
     widths: (nb, D) int32. Returns errs_zz (nb, 8, D) int32.
     """
-    if _USE_PALLAS:
+    if _USE_PALLAS == "1":
         from .pallas_pack import unpack_rows_pallas
 
         return unpack_rows_pallas(dense, widths)
+    if _USE_PALLAS == "mxu":
+        from .pallas_pack import unpack_rows_pallas_mxu
+
+        return unpack_rows_pallas_mxu(dense, widths)
     nb, _, maxb = dense.shape
     ndims = widths.shape[1]
     j = jnp.arange(maxb)

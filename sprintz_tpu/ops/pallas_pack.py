@@ -90,6 +90,100 @@ def unpack_rows_pallas(dense: jnp.ndarray, widths: jnp.ndarray,
     )(dense, widths, off)
 
 
+def _unpack_mxu_kernel(dense_ref, ow_ref, out_ref, *, tb, maxb, ndims):
+    """One tile: TB blocks unpacked by a single block-diagonal MXU dot.
+
+    The production XLA path streams a (nb, MAXB, D) bf16 weight tensor
+    through HBM (~16x the payload bytes — the dominant term of the
+    headline decode's traffic, docs/STATUS.md). Here the weight AND the
+    block-diagonal payload live only in VMEM, built per tile:
+
+      A (TB*8, TB*MAXB) = block-diagonal payload bytes (block c's rows
+          occupy lane window [c*MAXB, (c+1)*MAXB))
+      W (TB*MAXB, D)    = stacked per-block one-hot byte-window weights
+      word = A @ W      - one dot, contraction dim TB*MAXB = 512
+
+    so HBM traffic collapses to payload + offsets + output. The
+    block-diagonal zeros waste TB x MACs, but the MXU has ~100x headroom
+    over HBM here. Same exact-bf16 arithmetic as ops/pack.py (bytes and
+    power-of-two weights exact in bf16, every sum < 2^24 exact in f32).
+
+    dense_ref: (1, TB*8, MAXB) uint8; ow_ref: (1, TB, D) int32 packed
+    bit-offset | width << 12; out_ref: (1, TB*8, D) int32.
+    """
+    ow = ow_ref[0]  # (TB, D)
+    off = ow & 4095
+    wid = ow >> 12
+    q = off >> 3  # (TB, D) first-byte index, < MAXB
+    # W: (TB, MAXB, D) -> leading-axis merge to (TB*MAXB, D). The only
+    # reshapes in this kernel merge LEADING axes (minor dim untouched —
+    # lane-splitting reshapes don't lower, CLAUDE.md).
+    j3 = jax.lax.broadcasted_iota(jnp.int32, (tb, maxb, ndims), 1)
+    rel = j3 - q[:, None, :]
+    w3 = jnp.where(rel == 0, 1.0,
+                   jnp.where(rel == 1, 256.0,
+                             jnp.where(rel == 2, 65536.0, 0.0)))
+    w2 = w3.astype(jnp.bfloat16).reshape(tb * maxb, ndims)
+    dense = dense_ref[0].astype(jnp.bfloat16)  # (TB*8, MAXB)
+    # block-diagonal A from TB static sublane slices padded to their lane
+    # window (concat of zeros | slice | zeros; no iota/compare mask)
+    zero8 = jnp.zeros((BLOCK_SZ, maxb), jnp.bfloat16)
+    pieces = []
+    for c in range(tb):
+        db_c = dense[c * BLOCK_SZ:(c + 1) * BLOCK_SZ]  # (8, MAXB) static
+        row = ([zero8] * c) + [db_c] + ([zero8] * (tb - 1 - c))
+        pieces.append(jnp.concatenate(row, axis=1))  # (8, TB*MAXB)
+    a2 = jnp.concatenate(pieces, axis=0)  # (TB*8, TB*MAXB)
+    word = jnp.dot(a2, w2, preferred_element_type=jnp.float32)
+    wi = word.astype(jnp.int32)  # (TB*8, D)
+    sh = jnp.broadcast_to((off & 7)[:, None, :],
+                          (tb, BLOCK_SZ, ndims)).reshape(tb * BLOCK_SZ, ndims)
+    mk = jnp.broadcast_to(((1 << wid) - 1)[:, None, :],
+                          (tb, BLOCK_SZ, ndims)).reshape(tb * BLOCK_SZ, ndims)
+    out_ref[0] = (wi >> sh) & mk
+
+
+def unpack_rows_pallas_mxu(dense: jnp.ndarray, widths: jnp.ndarray,
+                           tb: int = 16, interpret: bool | None = None
+                           ) -> jnp.ndarray:
+    """Block-diagonal-MXU Pallas version of ops.pack.unpack_rows_rowmajor
+    (VERDICT r2 item 5 angle b — the in-VMEM one-hot attempt).
+
+    dense: (nb, 8, MAXB) int32/uint8; widths: (nb, D) int32.
+    Returns errs (nb, 8, D) int32. nb must be a multiple of tb.
+    """
+    nb, _, maxb = dense.shape
+    ndims = widths.shape[1]
+    if interpret is None:
+        interpret = not _on_tpu()
+    while tb > 1 and nb % tb:
+        tb //= 2
+    widths = widths.astype(jnp.int32)  # u8 widths overflow the cumsum
+    off = jnp.cumsum(widths, axis=1) - widths  # outside: no Mosaic cumsum
+    ow = (off | (widths << 12)).astype(jnp.int32)
+    ntiles = nb // tb
+    dense3 = dense.astype(jnp.uint8).reshape(ntiles, tb * BLOCK_SZ, maxb)
+    ow3 = ow.reshape(ntiles, tb, ndims)
+    out = pl.pallas_call(
+        functools.partial(_unpack_mxu_kernel, tb=tb, maxb=maxb,
+                          ndims=ndims),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((1, tb * BLOCK_SZ, maxb), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, ndims), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tb * BLOCK_SZ, ndims),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ntiles, tb * BLOCK_SZ, ndims),
+                                       jnp.int32),
+        interpret=interpret,
+    )(dense3, ow3)
+    return out.reshape(nb, BLOCK_SZ, ndims)
+
+
 def _pack_kernel(errs_ref, widths_ref, off_ref, out_ref, *, maxb, ndims):
     off = off_ref[:]
     q = off >> 3

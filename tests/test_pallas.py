@@ -38,3 +38,9 @@ def test_pallas_matches_xla(rng, nb, D, elem_sz):
     ub = np.asarray(unpack_rows_pallas(dense, widths))
     np.testing.assert_array_equal(ua, ub)
     np.testing.assert_array_equal(ua, errs_np)
+
+    from sprintz_tpu.ops.pallas_pack import unpack_rows_pallas_mxu
+
+    for tb in (8, 16):
+        um = np.asarray(unpack_rows_pallas_mxu(dense, widths, tb=tb))
+        np.testing.assert_array_equal(ua, um, err_msg=f"mxu tb={tb}")
