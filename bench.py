@@ -384,14 +384,32 @@ def main():
         words, tables, _, nchunks, nsym = hf.device_decode_prep(comp)
         tj = [jnp.asarray(x) for x in tables]
         wj = jnp.asarray(words)
-        dec = hf.get_decode_device()
 
-        def kern(w, a, b, c):
-            return dec(w, a, b, c, cs)
+        from sprintz_tpu.entropy import pallas_huffman as ph
+
+        if (ph.decode_pallas_available(words.shape[1], cs)
+                and hf._pallas_on_accelerator()):
+            # production TPU path: VMEM-resident Pallas kernel + the XLA
+            # bitslice permutation tail (sessions 26/29)
+            def kern(w, a, b, p):
+                packed = ph.decode_device_pallas(w, a, b, cs)
+                pt = packed.T
+                idx = jnp.stack([pt & 255, (pt >> 8) & 255], -1).reshape(
+                    pt.shape[0], 2 * ((cs + 1) // 2))[:, :cs]
+                return hf._bitslice_lookup(idx, p, 8).astype(jnp.uint8)
+
+            label = "pallas"
+        else:
+            dec = hf.get_decode_device()
+
+            def kern(w, a, b, p):
+                return dec(w, a, b, p, cs)
+
+            label = "xla"
 
         t2 = devloop_time(kern, (wj, tj[0], tj[1], tj[2]), 8)
         extra_notes.append(
-            f"huff-dec kernel (cs={cs}): {nsym / t2 / 1e9:.2f} GB/s")
+            f"huff-dec kernel ({label}, cs={cs}): {nsym / t2 / 1e9:.2f} GB/s")
         # encode: device lookup + append-scan pass (host assembly apart,
         # mirroring the sprintz encode-kernel metric above)
         t = hf.build_table(payload)

@@ -48,7 +48,12 @@ MAX_CODE_LEN = 12
 # Smaller chunks = more decode lanes, fewer sequential steps, AND less
 # per-step refill traffic on the device path (it reads the chunk's word
 # buffer once per 2 symbols). Size overhead is 2 bytes per chunk.
-DEFAULT_CHUNK_SYMBOLS = int(os.environ.get("SPRINTZ_HUFF_CHUNK", 1 << 12))
+# Default 128: the VMEM-resident Pallas decode needs cs <= 256 and peaks
+# there (13.9 GB/s, session 26); the ratio cost vs 4096 is 1.5-2.7%
+# across the mini corpus and host enc/dec stay above the paper's
+# >200 MB/s bar (231/308 MB/s). SPRINTZ_HUFF_CHUNK=4096 recovers the
+# ratio-first setting for host-only pipelines.
+DEFAULT_CHUNK_SYMBOLS = int(os.environ.get("SPRINTZ_HUFF_CHUNK", 128))
 _FLAG_V2 = 1
 _FLAG_SIZES_U16 = 2
 
