@@ -287,15 +287,19 @@ int64_t sprintz_gather_blocks(
       return -1;
   }
   int nthreads = (int)std::min<int64_t>(
-      std::max<int64_t>(ndata / 16384, 1),
+      std::max<int64_t>(ndata / 4096, 1),
       std::max(1u, std::thread::hardware_concurrency()));
   auto work = [&](int64_t lo, int64_t hi) {
     for (int64_t i = lo; i < hi; ++i) {
       const uint8_t* s = buf + offsets[i];
       uint8_t* d = out + i * kBlockSz * maxb;
       int64_t w = rb[i];
-      for (int r = 0; r < kBlockSz; ++r)
+      // callers pass an UNINITIALIZED buffer: zero only the row tails
+      // (np.zeros would memset the whole thing a second time)
+      for (int r = 0; r < kBlockSz; ++r) {
         memcpy(d + r * maxb, s + r * w, (size_t)w);
+        memset(d + r * maxb + w, 0, (size_t)(maxb - w));
+      }
     }
   };
   if (nthreads <= 1) {
@@ -332,7 +336,7 @@ int64_t sprintz_gather_dims(
       return -1;
   }
   int nthreads = (int)std::min<int64_t>(
-      std::max<int64_t>(ndata / 16384, 1),
+      std::max<int64_t>(ndata / 4096, 1),
       std::max(1u, std::thread::hardware_concurrency()));
   auto work = [&](int64_t lo, int64_t hi) {
     for (int64_t i = lo; i < hi; ++i) {
@@ -341,6 +345,7 @@ int64_t sprintz_gather_dims(
       for (int32_t k = 0; k < ndims; ++k) {
         int32_t w = widths[i * ndims + k];
         memcpy(d + k * eb, s, (size_t)w);
+        memset(d + k * eb + w, 0, (size_t)(eb - w));
         s += w;
       }
     }

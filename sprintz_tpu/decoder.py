@@ -794,11 +794,14 @@ def gather_payloads(buf: bytes, idx: StreamIndex, ndims: int, elem_sz: int,
     ndata = idx.widths.shape[0]
     if lowdim:
         maxb = 8 * elem_sz
-        dense = np.zeros((ndata, ndims, maxb), dtype=np.uint8)
+        # native fills every byte (copy + pad memset) -> skip the
+        # np.zeros memset, a full extra pass over the output buffer
+        dense = np.empty((ndata, ndims, maxb), dtype=np.uint8)
         if ndata == 0:
             return dense
         if gather_dims_native(buf, idx.payload_offsets, idx.widths, dense):
             return dense
+        dense[:] = 0  # numpy fallback scatters only payload bytes
         w = idx.widths.astype(np.int64)  # (ndata, D)
         unit_len = w.reshape(-1)
         unit_src = (np.repeat(idx.payload_offsets, ndims)
@@ -816,12 +819,13 @@ def gather_payloads(buf: bytes, idx: StreamIndex, ndims: int, elem_sz: int,
             else:
                 bucket = next_bucket(max(rb_max, 1), minimum=8)
             maxb = min(maxb, bucket)
-        dense = np.zeros((ndata, BLOCK_SZ, maxb), dtype=np.uint8)
+        dense = np.empty((ndata, BLOCK_SZ, maxb), dtype=np.uint8)
         if ndata == 0:
             return dense
         rb = ((idx.widths.sum(axis=1) + 7) // 8).astype(np.int64)
         if gather_blocks_native(buf, idx.payload_offsets, rb, dense):
             return dense
+        dense[:] = 0  # numpy fallback scatters only payload bytes
         unit_len = np.repeat(rb, BLOCK_SZ)
         unit_src = (np.repeat(idx.payload_offsets, BLOCK_SZ)
                     + np.tile(np.arange(BLOCK_SZ), ndata) * unit_len)

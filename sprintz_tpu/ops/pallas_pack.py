@@ -115,6 +115,15 @@ def _unpack_mxu_kernel(dense_ref, ow_ref, out_ref, *, tb, maxb, ndims):
     off = ow & 4095
     wid = ow >> 12
     q = off >> 3  # (TB, D) first-byte index, < MAXB
+
+    def to_bf16(x):
+        # Mosaic on this stack has no uint8 -> bfloat16 cast (session 28);
+        # int8 is bitcast payload bytes (go via i32, mask the sign-extend)
+        if x.dtype == jnp.int8:
+            return (x.astype(jnp.int32) & 255).astype(jnp.bfloat16)
+        if x.dtype != jnp.bfloat16:
+            return x.astype(jnp.bfloat16)
+        return x
     # W: (TB, MAXB, D) -> leading-axis merge to (TB*MAXB, D). The only
     # reshapes in this kernel merge LEADING axes (minor dim untouched —
     # lane-splitting reshapes don't lower, CLAUDE.md).
@@ -124,7 +133,7 @@ def _unpack_mxu_kernel(dense_ref, ow_ref, out_ref, *, tb, maxb, ndims):
                    jnp.where(rel == 1, 256.0,
                              jnp.where(rel == 2, 65536.0, 0.0)))
     w2 = w3.astype(jnp.bfloat16).reshape(tb * maxb, ndims)
-    dense = dense_ref[0].astype(jnp.bfloat16)  # (TB*8, MAXB)
+    dense = to_bf16(dense_ref[0])  # (TB*8, MAXB)
     # block-diagonal A from TB static sublane slices padded to their lane
     # window (concat of zeros | slice | zeros; no iota/compare mask)
     zero8 = jnp.zeros((BLOCK_SZ, maxb), jnp.bfloat16)
@@ -144,13 +153,17 @@ def _unpack_mxu_kernel(dense_ref, ow_ref, out_ref, *, tb, maxb, ndims):
 
 
 def unpack_rows_pallas_mxu(dense: jnp.ndarray, widths: jnp.ndarray,
-                           tb: int = 16, interpret: bool | None = None
-                           ) -> jnp.ndarray:
+                           tb: int = 16, interpret: bool | None = None,
+                           in_dtype: str = "i8") -> jnp.ndarray:
     """Block-diagonal-MXU Pallas version of ops.pack.unpack_rows_rowmajor
     (VERDICT r2 item 5 angle b — the in-VMEM one-hot attempt).
 
     dense: (nb, 8, MAXB) int32/uint8; widths: (nb, D) int32.
     Returns errs (nb, 8, D) int32. nb must be a multiple of tb.
+    in_dtype: payload carrier into the kernel — "i8" (bytes bitcast to
+    int8, 1x payload HBM; Mosaic lacks a u8->bf16 cast), "bf16"
+    (host-side convert, 2x payload HBM but no in-kernel cast), "u8"
+    (needs a Mosaic with the direct cast).
     """
     nb, _, maxb = dense.shape
     ndims = widths.shape[1]
@@ -162,7 +175,13 @@ def unpack_rows_pallas_mxu(dense: jnp.ndarray, widths: jnp.ndarray,
     off = jnp.cumsum(widths, axis=1) - widths  # outside: no Mosaic cumsum
     ow = (off | (widths << 12)).astype(jnp.int32)
     ntiles = nb // tb
-    dense3 = dense.astype(jnp.uint8).reshape(ntiles, tb * BLOCK_SZ, maxb)
+    carrier = {"i8": jnp.int8, "u8": jnp.uint8, "bf16": jnp.bfloat16}
+    if in_dtype == "i8":
+        dense3 = jax.lax.bitcast_convert_type(
+            dense.astype(jnp.uint8), jnp.int8)
+    else:
+        dense3 = dense.astype(carrier[in_dtype])
+    dense3 = dense3.reshape(ntiles, tb * BLOCK_SZ, maxb)
     ow3 = ow.reshape(ntiles, tb, ndims)
     out = pl.pallas_call(
         functools.partial(_unpack_mxu_kernel, tb=tb, maxb=maxb,

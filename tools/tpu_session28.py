@@ -74,42 +74,47 @@ def main():
     print(f"unpack xla bf16      : {nbytes / t / 1e9:6.2f} GB/s", flush=True)
 
     # ---------------- 2. Pallas MXU unpack: compile-only ALL variants
-    tbs = [8] if SMOKE else [8, 16, 32]
+    # (session-28a: u8 carrier fails — Mosaic has no u8->bf16 cast)
+    variants = ([(8, "i8")] if SMOKE
+                else [(tb, dt) for dt in ("i8", "bf16")
+                      for tb in (8, 16, 32)])
     good = []
-    for tb in tbs:
+    for tb, dt in variants:
         try:
-            f = jax.jit(lambda d, w, tb=tb: unpack_rows_pallas_mxu(
-                d, w, tb=tb, interpret=SMOKE))
+            f = jax.jit(lambda d, w, tb=tb, dt=dt: unpack_rows_pallas_mxu(
+                d, w, tb=tb, interpret=SMOKE, in_dtype=dt))
             f.lower(dj, wj).compile()
-            good.append(tb)
-            print(f"pallas-mxu tb={tb}: compiled ok", flush=True)
+            good.append((tb, dt))
+            print(f"pallas-mxu tb={tb} {dt}: compiled ok", flush=True)
         except Exception as e:
-            print(f"pallas-mxu tb={tb}: COMPILE FAILED: {type(e).__name__}: "
-                  f"{str(e)[:300]}", flush=True)
+            print(f"pallas-mxu tb={tb} {dt}: COMPILE FAILED: "
+                  f"{type(e).__name__}: {str(e)[:300]}", flush=True)
 
-    # ---------------- 3. ONE guarded runtime exactness check (smallest tb)
-    if good:
-        tb0 = good[0]
-        print(f"pallas-mxu tb={tb0}: guarded first run...", flush=True)
+    # ---------------- 3. ONE guarded runtime exactness check per carrier
+    for dt in {d for _, d in good}:
+        tb0 = min(tb for tb, d in good if d == dt)
+        print(f"pallas-mxu tb={tb0} {dt}: guarded first run...", flush=True)
 
         @jax.jit
-        def check(d, d32, w):
+        def check(d, d32, w, tb0=tb0, dt=dt):
             a = unpack_rows_rowmajor(d32, w)
-            b = unpack_rows_pallas_mxu(d, w, tb=tb0, interpret=SMOKE)
+            b = unpack_rows_pallas_mxu(d, w, tb=tb0, interpret=SMOKE,
+                                       in_dtype=dt)
             return jnp.all(a == b)
 
         ok = bool(check(dj, dj32, wj))
-        print(f"pallas-mxu tb={tb0}: runtime ok, exact={ok}", flush=True)
+        print(f"pallas-mxu tb={tb0} {dt}: runtime ok, exact={ok}",
+              flush=True)
         if not ok:
-            good = []
+            good = [(tb, d) for tb, d in good if d != dt]
 
     # ---------------- 4. timing per variant (isolated kernel)
-    for tb in good:
+    for tb, dt in good:
         t2 = devloop_time(
-            lambda d, w, tb=tb: unpack_rows_pallas_mxu(
-                d, w, tb=tb, interpret=SMOKE), (dj, wj), iters)
-        print(f"unpack pallas-mxu tb={tb:3d}: {nbytes / t2 / 1e9:6.2f} GB/s",
-              flush=True)
+            lambda d, w, tb=tb, dt=dt: unpack_rows_pallas_mxu(
+                d, w, tb=tb, interpret=SMOKE, in_dtype=dt), (dj, wj), iters)
+        print(f"unpack pallas-mxu tb={tb:3d} {dt:>4}: "
+              f"{nbytes / t2 / 1e9:6.2f} GB/s", flush=True)
 
     # ---------------- 5. full decode pass A/B (unpack + zigzag + prefix)
     def full(d, w):
@@ -120,11 +125,7 @@ def main():
     print(f"full decode pass xla : {nbytes / t3 / 1e9:6.2f} GB/s",
           flush=True)
     if good:
-        best_tb = good[0] if len(good) == 1 else None
-        # pick fastest tb by the isolated timing printed above is manual;
-        # A/B the full pass with the default tb=16 when available
-        tb_full = 16 if 16 in good else good[0]
-        pack._USE_PALLAS = "mxu"
+        pack._USE_PALLAS = "mxu"  # default tb=16, in_dtype="i8"
         try:
             out_ref = np.asarray(full(dj, wj))[: idx.total_rows]
             ok = np.array_equal(out_ref.reshape(-1), raw.reshape(-1))
@@ -132,7 +133,7 @@ def main():
             if ok:
                 t4 = devloop_time(full, (dj, wj), iters)
                 print(f"full decode pass mxu : {nbytes / t4 / 1e9:6.2f} "
-                      f"GB/s (tb=16 default)", flush=True)
+                      f"GB/s (tb=16 i8 default)", flush=True)
         finally:
             pack._USE_PALLAS = "0"
 
