@@ -235,6 +235,13 @@ def unpack_rows_rowmajor(dense: jnp.ndarray, widths: jnp.ndarray
         from .pallas_pack import unpack_rows_pallas_mxu
 
         return unpack_rows_pallas_mxu(dense, widths)
+    if _USE_PALLAS == "mxu16":
+        # bf16 kernel output (exact for <= 8-bit fields); the astype
+        # fuses into the downstream zigzag/prefix consumers
+        from .pallas_pack import unpack_rows_pallas_mxu
+
+        return unpack_rows_pallas_mxu(
+            dense, widths, out_dtype="bf16").astype(jnp.int32)
     nb, _, maxb = dense.shape
     ndims = widths.shape[1]
     j = jnp.arange(maxb)

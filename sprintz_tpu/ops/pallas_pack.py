@@ -91,6 +91,7 @@ def unpack_rows_pallas(dense: jnp.ndarray, widths: jnp.ndarray,
 
 
 def _unpack_mxu_kernel(dense_ref, ow_ref, out_ref, *, tb, maxb, ndims):
+    out_dtype = out_ref.dtype
     """One tile: TB blocks unpacked by a single block-diagonal MXU dot.
 
     The production XLA path streams a (nb, MAXB, D) bf16 weight tensor
@@ -149,12 +150,16 @@ def _unpack_mxu_kernel(dense_ref, ow_ref, out_ref, *, tb, maxb, ndims):
                           (tb, BLOCK_SZ, ndims)).reshape(tb * BLOCK_SZ, ndims)
     mk = jnp.broadcast_to(((1 << wid) - 1)[:, None, :],
                           (tb, BLOCK_SZ, ndims)).reshape(tb * BLOCK_SZ, ndims)
-    out_ref[0] = (wi >> sh) & mk
+    res = (wi >> sh) & mk
+    # bf16 output halves the kernel's dominant HBM term; exact only for
+    # u8 fields (values <= 255) — callers gate on elem_sz
+    out_ref[0] = res if out_dtype == jnp.int32 else res.astype(out_dtype)
 
 
 def unpack_rows_pallas_mxu(dense: jnp.ndarray, widths: jnp.ndarray,
                            tb: int = 16, interpret: bool | None = None,
-                           in_dtype: str = "i8") -> jnp.ndarray:
+                           in_dtype: str = "i8", out_dtype: str = "i32"
+                           ) -> jnp.ndarray:
     """Block-diagonal-MXU Pallas version of ops.pack.unpack_rows_rowmajor
     (VERDICT r2 item 5 angle b — the in-VMEM one-hot attempt).
 
@@ -167,6 +172,7 @@ def unpack_rows_pallas_mxu(dense: jnp.ndarray, widths: jnp.ndarray,
     """
     nb, _, maxb = dense.shape
     ndims = widths.shape[1]
+    odt = jnp.bfloat16 if out_dtype == "bf16" else jnp.int32
     if interpret is None:
         interpret = not _on_tpu()
     while tb > 1 and nb % tb:
@@ -197,7 +203,7 @@ def unpack_rows_pallas_mxu(dense: jnp.ndarray, widths: jnp.ndarray,
                                lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ntiles, tb * BLOCK_SZ, ndims),
-                                       jnp.int32),
+                                       odt),
         interpret=interpret,
     )(dense3, ow3)
     return out.reshape(nb, BLOCK_SZ, ndims)
