@@ -72,8 +72,11 @@ LOWDIM_PASS = os.environ.get("SPRINTZ_LOWDIM_PASS", "auto")
 
 # Runs-stream timeline materialization in _decode_pass: "gather" (block
 # starts are 8-aligned, so the timeline is a major-axis gather of whole
-# blocks — full minor tiles) or "scatter" (legacy (ndata*8, D) row
-# scatter, measured 5.0 GB/s d64 u8 = ~100% of runs-decode wall time).
+# blocks — full minor tiles), "dgather" (gather the PACKED u8 payload
+# onto the timeline BEFORE unpacking — 1/8 the gathered bytes, unpack
+# writes the timeline directly; weight tensor grows to timeline blocks),
+# or "scatter" (legacy (ndata*8, D) row scatter, measured 5.0 GB/s d64
+# u8 = ~100% of runs-decode wall time). Device A/B: session 31.
 RUNS_TIMELINE = os.environ.get("SPRINTZ_RUNS_TIMELINE", "gather")
 
 # Dense-buffer width bucketing on the rowmajor decode path ("pow2" or
@@ -469,6 +472,37 @@ if _have_jax:
                 dense, widths, out_block_rows, elem_sz, total_rows,
                 state=None if init_state is None else init_state[0])
             return vals
+        if (RUNS_TIMELINE == "dgather" and total_rows % BLOCK_SZ == 0
+                and not lowdim):
+            # Byte-gather timeline: place the PACKED payload blocks on
+            # the timeline before unpacking (run slots keep width-0
+            # rows, which unpack to the zero deltas runs need). The
+            # gathered array is u8 payload (~1/8 the i32 errs the
+            # block-gather variant moves twice); the unpack then writes
+            # the timeline directly. Cost: the unpack weight tensor
+            # grows from ndata to timeline blocks.
+            nbt = total_rows // BLOCK_SZ
+            nd0 = dense.shape[0]
+            src = jnp.full((nbt,), nd0, jnp.int32)
+            src = src.at[out_block_rows // BLOCK_SZ].set(
+                jnp.arange(out_block_rows.shape[0], dtype=jnp.int32),
+                mode="drop")
+            dense_t = jnp.concatenate(
+                [dense, jnp.zeros((1,) + dense.shape[1:], dense.dtype)]
+            )[src].astype(jnp.int32)
+            widths_t = jnp.concatenate(
+                [widths, jnp.zeros((1, widths.shape[1]), widths.dtype)]
+            )[src].astype(jnp.int32)
+            errs = unpack_rows_rowmajor(dense_t, widths_t)
+            full = errs.reshape(nbt * BLOCK_SZ, errs.shape[2])
+            if codec == "delta":
+                vals = delta_decode(full, eb)
+                if init_state is not None:
+                    vals = (vals + init_state[0][None, :]) & ((1 << eb) - 1)
+            else:
+                vals = fire_decode(full, eb, truncate_coeffs=not lowdim,
+                                   init_state=init_state)
+            return vals.astype(jnp.uint8 if elem_sz == 1 else jnp.uint16)
         dense = dense.astype(jnp.int32)  # transferred as u8, computed wide
         widths = widths.astype(jnp.int32)
         if lowdim:

@@ -361,12 +361,16 @@ def test_runs_timeline_gather_identical(rng, ndims, elem_sz, lowdim, codec):
     prev = decoder.RUNS_TIMELINE
     try:
         outs = {}
-        for name in ("scatter", "gather"):
+        names = (("scatter", "gather") if lowdim
+                 else ("scatter", "gather", "dgather"))
+        for name in names:
             decoder.RUNS_TIMELINE = name
             jax.clear_caches()
             outs[name] = decoder.decompress(s, codec, elem_sz)
         np.testing.assert_array_equal(outs["gather"], outs["scatter"])
         np.testing.assert_array_equal(outs["gather"], x)
+        if "dgather" in outs:
+            np.testing.assert_array_equal(outs["dgather"], x)
     finally:
         decoder.RUNS_TIMELINE = prev
         jax.clear_caches()
