@@ -70,14 +70,18 @@ LOWDIM_DMAJOR_IMPL = os.environ.get("SPRINTZ_LOWDIM_DMAJOR_IMPL", "dyn")
 # where the group padding made grouped 1.5x slower).
 LOWDIM_PASS = os.environ.get("SPRINTZ_LOWDIM_PASS", "auto")
 
-# Runs-stream timeline materialization in _decode_pass: "gather" (block
-# starts are 8-aligned, so the timeline is a major-axis gather of whole
-# blocks — full minor tiles), "dgather" (gather the PACKED u8 payload
-# onto the timeline BEFORE unpacking — 1/8 the gathered bytes, unpack
-# writes the timeline directly; weight tensor grows to timeline blocks),
-# or "scatter" (legacy (ndata*8, D) row scatter, measured 5.0 GB/s d64
-# u8 = ~100% of runs-decode wall time). Device A/B: session 31.
-RUNS_TIMELINE = os.environ.get("SPRINTZ_RUNS_TIMELINE", "gather")
+# Runs-stream timeline materialization in _decode_pass: "auto" picks
+# per stream shape between "gather" (block starts are 8-aligned, so the
+# timeline is a major-axis gather of whole blocks — full minor tiles)
+# and "dgather" (gather the PACKED u8 payload onto the timeline BEFORE
+# unpacking — 1/8 the gathered bytes, unpack writes the timeline
+# directly; cost: the unpack weight tensor grows to timeline blocks).
+# Session-31 interleaved device A/B, u8 d64: dgather 12.9 vs gather
+# 10.5 GB/s at 1/3 rows in runs, but 15.1 vs 26.7 at 1/2 (weight growth
+# dominates when runs outnumber data), u16 a tie — so "auto" = dgather
+# only when data blocks cover >= 60% of the timeline and elem_sz == 1.
+# "scatter" is the legacy (ndata*8, D) row scatter (5.0 GB/s).
+RUNS_TIMELINE = os.environ.get("SPRINTZ_RUNS_TIMELINE", "auto")
 
 # Dense-buffer width bucketing on the rowmajor decode path ("pow2" or
 # "mult8"). The unpack weight tensor (c, D, maxb) scales with maxb and
@@ -472,8 +476,10 @@ if _have_jax:
                 dense, widths, out_block_rows, elem_sz, total_rows,
                 state=None if init_state is None else init_state[0])
             return vals
-        if (RUNS_TIMELINE == "dgather" and total_rows % BLOCK_SZ == 0
-                and not lowdim):
+        use_dgather = RUNS_TIMELINE == "dgather" or (
+            RUNS_TIMELINE == "auto" and elem_sz == 1
+            and widths.shape[0] * BLOCK_SZ * 10 >= total_rows * 6)
+        if (use_dgather and total_rows % BLOCK_SZ == 0 and not lowdim):
             # Byte-gather timeline: place the PACKED payload blocks on
             # the timeline before unpacking (run slots keep width-0
             # rows, which unpack to the zero deltas runs need). The
@@ -510,7 +516,8 @@ if _have_jax:
         else:
             errs = unpack_rows_rowmajor(dense, widths)
         ndata, _, ndims = errs.shape
-        if RUNS_TIMELINE == "gather" and total_rows % BLOCK_SZ == 0:
+        if (RUNS_TIMELINE in ("gather", "auto", "dgather")
+                and total_rows % BLOCK_SZ == 0):
             # Block-gather timeline: runs are whole blocks (the RLE unit,
             # golden/stream.py), so block starts are 8-aligned and the
             # (ndata*8, D) row scatter — measured ~100% of runs-decode
