@@ -229,15 +229,20 @@ def _build_head(n: int, chunk_symbols: int, nchunks: int, t: HuffmanTable,
 
 def huff_compress(data: np.ndarray | bytes,
                   chunk_symbols: int = DEFAULT_CHUNK_SYMBOLS,
-                  table: HuffmanTable | None = None) -> bytes:
+                  table: HuffmanTable | None = None,
+                  backend: str = "native") -> bytes:
     """Chunked canonical Huffman encode.
 
-    Emission prefers the native C++ loop (native/sprintz_host.cpp,
-    hundreds of MB/s — the role Huff0 plays for the reference paper);
-    the numpy fallback below expands per-symbol code bits into a
-    (nchunks, max_chunk_bits) bit matrix and packs with np.packbits."""
+    backend "native" (default): the C++ emission loop (hundreds of
+    MB/s — the role Huff0 plays for the reference paper), numpy
+    fallback. backend "device": the byte-identical TPU encode pass
+    (bitslice LUT + append scan, 2.9-4.4 GB/s on v5e, session 26) —
+    worth it when the data is already near the device or host cores
+    are the bottleneck; host keeps table build + ragged assembly."""
     from ..native_host import huff_encode_native
 
+    if backend == "device":
+        return huff_compress_device(data, chunk_symbols, table)
     arr = np.frombuffer(data, dtype=np.uint8) if isinstance(
         data, (bytes, bytearray)) else np.asarray(data, dtype=np.uint8)
     t = build_table(arr) if table is None else table
