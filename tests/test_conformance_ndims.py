@@ -11,13 +11,16 @@ from conftest import make_stream
 NDIMS_SWEEP = list(range(1, 18)) + [31, 32, 33, 63, 64, 65, 127, 128, 129]
 
 
+# parameterized per-ndims so pytest-xdist can spread the work: as one
+# test the xff sweep was a 281 s straggler that set the whole suite's
+# critical path
+@pytest.mark.parametrize("ndims", NDIMS_SWEEP)
 @pytest.mark.parametrize("codec", ["delta", "xff"])
-def test_ndims_sweep_roundtrip(rng, codec):
-    for ndims in NDIMS_SWEEP:
-        x = make_stream(rng, 160 * ndims, 1, "sparse")
-        buf = encoder.compress(x, ndims, codec=codec)
-        dec = decoder.decompress(buf, codec=codec, elem_sz=1)
-        np.testing.assert_array_equal(dec, x, err_msg=f"ndims={ndims}")
+def test_ndims_sweep_roundtrip(rng, codec, ndims):
+    x = make_stream(rng, 160 * ndims, 1, "sparse")
+    buf = encoder.compress(x, ndims, codec=codec)
+    dec = decoder.decompress(buf, codec=codec, elem_sz=1)
+    np.testing.assert_array_equal(dec, x, err_msg=f"ndims={ndims}")
 
 
 def test_ndims_sweep_byte_exact(rng):

@@ -12,10 +12,12 @@ from sprintz_tpu.golden.rowmajor import compress_rowmajor_rle
 from conftest import make_stream
 
 
+@pytest.mark.parametrize("ndims", [1, 3, 5, 16])
 @pytest.mark.parametrize("codec,elem_sz", itertools.product(
     ["delta", "xff"], [1, 2]))
-def test_jax_matches_golden(rng, codec, elem_sz):
-    for ndims in [1, 3, 5, 16]:
+def test_jax_matches_golden(rng, codec, elem_sz, ndims):
+    # per-ndims params let xdist spread the slow xff/CPU-scan cases
+    for _ in [None]:
         for kind in ["rand", "small", "zeros", "sparse"]:
             x = make_stream(rng, 500 * ndims, elem_sz, kind)
             lowdim = ndims <= (4 if elem_sz == 1 else 2)
