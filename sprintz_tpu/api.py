@@ -112,6 +112,39 @@ class SprintzCodec:
             stream = huff_compress(stream)
         return stream, sc
 
+    def compress_batch(self, arrays: list[np.ndarray],
+                       ndims: int | None = None) -> list[bytes]:
+        """Compress S same-ndims arrays in one device pass (encoder
+        forecast/pack runs S*D lanes wide — the throughput axis for
+        fleets of small streams). Streams are byte-identical to
+        per-stream ``compress``."""
+        same_shape = (arrays and all(
+            np.asarray(a).ndim == 2 and a.shape == arrays[0].shape
+            for a in arrays))
+        if (self.backend in ("auto", "jax") and self.entropy == "none"
+                and ndims is None and same_shape):
+            try:
+                from . import encoder as _jax_encoder
+
+                return _jax_encoder.compress_batch(
+                    np.stack(arrays), codec=self.codec)
+            except ImportError:
+                pass
+        return [self.compress(a, ndims=ndims) for a in arrays]
+
+    def decompress_batch(self, bufs: list[bytes]) -> list[np.ndarray]:
+        """Decompress S same-ndims streams in one vmapped device pass
+        (counterpart of ``compress_batch``)."""
+        if self.backend in ("auto", "jax") and self.entropy == "none":
+            try:
+                from . import decoder as _jax_decoder
+
+                return _jax_decoder.decompress_batch(
+                    bufs, codec=self.codec, elem_sz=self.elem_sz)
+            except ImportError:
+                pass
+        return [self.decompress(b) for b in bufs]
+
     def decompress(self, buf: bytes, sidecar=None) -> np.ndarray:
         """Decompress a stream; returns the flat row-major element array.
 

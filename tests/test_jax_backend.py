@@ -154,3 +154,20 @@ def test_grouped_decode_optin_matches(rng, monkeypatch):
     grouped = decoder.decompress(buf, codec="delta", elem_sz=1)
     np.testing.assert_array_equal(grouped, base)
     np.testing.assert_array_equal(base, x)
+
+
+def test_api_batch_roundtrip(rng):
+    """SprintzCodec.compress_batch/decompress_batch == per-stream, both
+    codecs, u8+u16 (the batch axis is the TPU throughput surface for
+    fleets of small streams)."""
+    from sprintz_tpu.api import SprintzCodec
+
+    for codec, esz, d in (("delta", 1, 4), ("xff", 2, 9)):
+        dt = np.uint8 if esz == 1 else np.uint16
+        c = SprintzCodec(codec, esz)
+        arrs = [(np.cumsum(rng.integers(-5, 6, (1200, d)), axis=0)
+                 % (1 << (8 * esz))).astype(dt) for _ in range(4)]
+        bufs = c.compress_batch(arrs)
+        assert bufs == [c.compress(a) for a in arrs]
+        for a, o in zip(arrs, c.decompress_batch(bufs)):
+            np.testing.assert_array_equal(o, a.reshape(-1))
