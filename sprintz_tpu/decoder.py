@@ -119,6 +119,13 @@ def _dmajor_ok(codec: str, ndims: int, elem_sz: int) -> bool:
 
 if _have_jax:
 
+    def _pair_ok(elem_sz):
+        """Paired-dim rowmajor unpack (halved weight tensor) is exact
+        only for u8 fields (pairs <= 16 bits; ops/pack.py UNPACK_PAIR)."""
+        from .ops import pack as _pack
+
+        return _pack.UNPACK_PAIR and elem_sz == 1
+
     def _unpack_lowdim_best(dense, widths):
         """Lowdim field extraction with the fastest bit-identical
         formulation: group-folded when D divides 128 (sessions 12/13),
@@ -499,7 +506,7 @@ if _have_jax:
             widths_t = jnp.concatenate(
                 [widths, jnp.zeros((1, widths.shape[1]), widths.dtype)]
             )[src].astype(jnp.int32)
-            errs = unpack_rows_rowmajor(dense_t, widths_t)
+            errs = unpack_rows_rowmajor(dense_t, widths_t, pair=_pair_ok(elem_sz))
             full = errs.reshape(nbt * BLOCK_SZ, errs.shape[2])
             if codec == "delta":
                 vals = delta_decode(full, eb)
@@ -514,7 +521,7 @@ if _have_jax:
         if lowdim:
             errs = _unpack_lowdim_best(dense, widths)
         else:
-            errs = unpack_rows_rowmajor(dense, widths)
+            errs = unpack_rows_rowmajor(dense, widths, pair=_pair_ok(elem_sz))
         ndata, _, ndims = errs.shape
         if (RUNS_TIMELINE in ("gather", "auto", "dgather")
                 and total_rows % BLOCK_SZ == 0):
@@ -573,7 +580,7 @@ if _have_jax:
         if lowdim:
             errs = _unpack_lowdim_best(dense, widths)
         else:
-            errs = unpack_rows_rowmajor(dense, widths)
+            errs = unpack_rows_rowmajor(dense, widths, pair=_pair_ok(elem_sz))
         ndata, _, ndims = errs.shape
         flat = errs.reshape(ndata * BLOCK_SZ, ndims)
         if codec == "delta":
@@ -615,7 +622,7 @@ if _have_jax:
         if lowdim:
             errs = _unpack_lowdim_best(dense, widths)
         else:
-            errs = unpack_rows_rowmajor(dense, widths)
+            errs = unpack_rows_rowmajor(dense, widths, pair=_pair_ok(elem_sz))
         ndata, _, ndims = errs.shape
         flat = errs.reshape(ndata * BLOCK_SZ, ndims)
         if codec == "delta":
@@ -659,7 +666,7 @@ if _have_jax:
             if lowdim:
                 errs = _unpack_lowdim_best(d, w)
             else:
-                errs = unpack_rows_rowmajor(d, w)
+                errs = unpack_rows_rowmajor(d, w, pair=_pair_ok(elem_sz))
             nb, _, ndims = errs.shape
             if contiguous:
                 full = errs.reshape(nb * BLOCK_SZ, ndims)[:rows_pad]

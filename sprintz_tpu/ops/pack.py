@@ -38,6 +38,14 @@ _CHUNK = 8192  # blocks per one-hot chunk
 # angle b). Flag is read at TRACE time.
 _USE_PALLAS = os.environ.get("SPRINTZ_USE_PALLAS", "0")
 
+# Paired-dim unpack (u8 rowmajor only): one matmul window per dim PAIR
+# — halves the (c, MAXB, D) unpack weight tensor, the headline decode's
+# dominant HBM term. Exact because u8 pairs fit the 3-byte window
+# ((off&7) + w0 + w1 <= 23 bits) and the pair word tops at 2^24 - 1
+# (f32-exact). Decoder call sites gate on elem_sz == 1. Default decided
+# by the session-34 device A/B; force with SPRINTZ_UNPACK_PAIR=1/0.
+UNPACK_PAIR = os.environ.get("SPRINTZ_UNPACK_PAIR", "0") == "1"
+
 # MXU number format for the exact-matmul kernels: "bf16" (one matmul,
 # weights in {1,256,65536}) or "s8" (v5e native s8*s8->s32 — half the
 # weight bytes at twice the MXU rate; bytes are biased into [-128,127]
@@ -220,12 +228,15 @@ def pack_dims_lowdim(errs_zz: jnp.ndarray, widths: jnp.ndarray,
                     nb, errs_zz, widths)
 
 
-def unpack_rows_rowmajor(dense: jnp.ndarray, widths: jnp.ndarray
-                         ) -> jnp.ndarray:
+def unpack_rows_rowmajor(dense: jnp.ndarray, widths: jnp.ndarray,
+                         pair: bool = False) -> jnp.ndarray:
     """Extract per-dim fields from packed rows.
 
     dense: (nb, 8, MAXB) int32 bytes (payload rows, zero padded);
     widths: (nb, D) int32. Returns errs_zz (nb, 8, D) int32.
+    ``pair``: paired-dim extraction — one matmul window per dim PAIR,
+    halving the weight tensor. VALID ONLY when every width <= 8 (u8
+    streams); callers gate on elem_sz.
     """
     if _USE_PALLAS == "1":
         from .pallas_pack import unpack_rows_pallas
@@ -283,6 +294,38 @@ def unpack_rows_rowmajor(dense: jnp.ndarray, widths: jnp.ndarray
         word = word >> (off & 7)[:, None, :]
         return word & ((1 << widths_c)[:, None, :] - 1)
 
+    def chunk_pair(dense_c, widths_c):
+        # PAIRED-DIM extraction: u8 width pairs always satisfy
+        # (off & 7) + w[2k] + w[2k+1] <= 7 + 16 = 23 bits, so ONE
+        # 3-byte matmul window per dim PAIR covers both fields — the
+        # (c, MAXB, D) weight tensor (the headline decode's dominant
+        # HBM term, docs/STATUS.md) halves to (c, MAXB, D/2). The pair
+        # word maxes at 255 * (1 + 256 + 65536) = 2^24 - 1, still exact
+        # in f32. The lo/hi split + re-interleave are fused elementwise.
+        c = dense_c.shape[0]
+        dp = ndims + (ndims & 1)
+        wp = widths_c.astype(jnp.int32)  # u8 widths overflow the cumsum
+        if dp != ndims:  # odd D: one zero-width phantom dim
+            wp = jnp.concatenate(
+                [wp, jnp.zeros((c, 1), wp.dtype)], axis=1)
+        off = jnp.cumsum(wp, axis=1) - wp  # (c, Dp)
+        offp = off[:, 0::2]  # (c, Dp/2) pair start bit offsets
+        q = offp >> 3
+        rel = j[None, None, :] - q[:, :, None]  # (c, Dp/2, MAXB)
+        w = jnp.where(rel == 0, 1.0,
+                      jnp.where(rel == 1, 256.0,
+                                jnp.where(rel == 2, 65536.0, 0.0)))
+        word = _matmul_exact(dense_c, w.transpose(0, 2, 1))  # (c, 8, Dp/2)
+        word = jax.lax.shift_right_logical(word, (offp & 7)[:, None, :])
+        w0 = wp[:, 0::2][:, None, :]  # (c, 1, Dp/2)
+        w1 = wp[:, 1::2][:, None, :]
+        lo = word & ((1 << w0) - 1)
+        hi = jax.lax.shift_right_logical(word, w0) & ((1 << w1) - 1)
+        errs = jnp.stack([lo, hi], axis=-1).reshape(c, BLOCK_SZ, dp)
+        return errs[:, :, :ndims]
+
+    if pair:
+        return _chunked(chunk_pair, nb, dense, widths)
     return _chunked(chunk_s8 if MXU_IMPL == "s8" else chunk,
                     nb, dense, widths)
 

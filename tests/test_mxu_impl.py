@@ -471,3 +471,31 @@ def test_prefix_fold_exact(rng, prefix_impl, fold, value_bits, ncols):
     finally:
         fc.PREFIX_FOLD = prev
         jax.clear_caches()
+
+
+@pytest.mark.parametrize("codec,runs", [("delta", False), ("xff", False),
+                                        ("delta", True)])
+def test_unpack_pair_identical(rng, codec, runs):
+    """Paired-dim unpack (halved weight tensor) must decode u8 rowmajor
+    streams identically to the per-dim formulation (contiguous + runs)."""
+    from sprintz_tpu import decoder, encoder
+    from sprintz_tpu.ops import pack
+
+    n, D = 6000, 17
+    seg = rng.integers(-6, 7, (n, D))
+    if runs:
+        seg = np.where((np.arange(n) // 64 % 3 == 0)[:, None], 0, seg)
+    x = (np.cumsum(seg, axis=0) % 256).astype(np.uint8).reshape(-1)
+    s = encoder.compress(x, D, codec=codec)
+    prev = pack.UNPACK_PAIR
+    try:
+        outs = {}
+        for flag in (False, True):
+            pack.UNPACK_PAIR = flag
+            jax.clear_caches()
+            outs[flag] = decoder.decompress(s, codec, 1)
+        np.testing.assert_array_equal(outs[True], outs[False])
+        np.testing.assert_array_equal(outs[True], x)
+    finally:
+        pack.UNPACK_PAIR = prev
+        jax.clear_caches()
