@@ -221,7 +221,11 @@ if _have_jax:
                 dense = pack_dims_lowdim(blocks, widths, elem_sz)
         else:
             widths = block_widths_rowmajor(ormask, elem_sz)
-            dense = pack_rows_rowmajor(blocks, widths, elem_sz)
+            from .ops import pack as _pack
+
+            dense = pack_rows_rowmajor(
+                blocks, widths, elem_sz,
+                pair=_pack.UNPACK_PAIR and elem_sz == 1)
         hdr = header_value(widths, eb)
         width_sums = widths.sum(axis=1)
         return widths, hdr, dense, width_sums

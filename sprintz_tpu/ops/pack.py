@@ -96,12 +96,13 @@ def _matmul_exact(a_bytes: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 
 
 def pack_rows_rowmajor(errs_zz: jnp.ndarray, widths: jnp.ndarray,
-                       elem_sz: int) -> jnp.ndarray:
+                       elem_sz: int, pair: bool = False) -> jnp.ndarray:
     """Pack row-major block payloads.
 
     errs_zz: (nb, 8, D) int32 zigzag errors; widths: (nb, D) int32.
     Returns dense (nb, 8, MAXB) uint8, MAXB = D * elem_sz; row r of block b
-    occupies its first ceil(sum(widths[b])/8) bytes.
+    occupies its first ceil(sum(widths[b])/8) bytes. ``pair``: paired-dim
+    windows (halved one-hots; valid only when every width <= 8).
     """
     if _USE_PALLAS == "1":
         from .pallas_pack import pack_rows_pallas
@@ -148,6 +149,36 @@ def pack_rows_rowmajor(errs_zz: jnp.ndarray, widths: jnp.ndarray,
                  .at[:, :, :2].set(0))
         return out.astype(jnp.uint8)
 
+    def chunk_pair(errs_c, widths_c):
+        # Paired-dim packing twin of the unpack chunk_pair: the pair's
+        # combined field (e0 | e1 << w0) << (off & 7) still fits 3
+        # bytes for u8 widths, so the per-byte-lane one-hots shrink to
+        # (c, D/2, MAXB). Adds remain OR-equivalent: all fields are
+        # bit-disjoint regardless of pairing.
+        c0 = errs_c.shape[0]
+        dp = ndims + (ndims & 1)
+        wp = widths_c.astype(jnp.int32)
+        ep = errs_c
+        if dp != ndims:
+            wp = jnp.concatenate(
+                [wp, jnp.zeros((c0, 1), wp.dtype)], axis=1)
+            ep = jnp.concatenate(
+                [ep, jnp.zeros((c0, BLOCK_SZ, 1), ep.dtype)], axis=2)
+        off = jnp.cumsum(wp, axis=1) - wp
+        offp = off[:, 0::2]  # (c, Dp/2)
+        w0 = wp[:, 0::2][:, None, :]
+        cp = (ep[:, :, 0::2] | (ep[:, :, 1::2] << w0)
+              ) << (offp & 7)[:, None, :]  # <= 23 bits
+        q = offp >> 3
+        out = jnp.zeros((c0, BLOCK_SZ, maxb), jnp.float32)
+        for k in range(3):
+            onehot = (q[:, :, None] + k == m[None, None, :])
+            byte_k = (cp >> (8 * k)) & 0xFF
+            out = out + _matmul_exact(byte_k, onehot).astype(jnp.float32)
+        return out.astype(jnp.uint8)
+
+    if pair:
+        return _chunked(chunk_pair, nb, errs_zz, widths)
     return _chunked(chunk_s8 if MXU_IMPL == "s8" else chunk,
                     nb, errs_zz, widths)
 

@@ -499,3 +499,23 @@ def test_unpack_pair_identical(rng, codec, runs):
     finally:
         pack.UNPACK_PAIR = prev
         jax.clear_caches()
+
+
+def test_pack_pair_identical(rng):
+    """Paired-dim packing must emit byte-identical u8 streams."""
+    from sprintz_tpu import encoder
+    from sprintz_tpu.ops import pack
+
+    x = (np.cumsum(rng.integers(-6, 7, (5000, 17)), axis=0)
+         % 256).astype(np.uint8).reshape(-1)
+    prev = pack.UNPACK_PAIR
+    try:
+        outs = {}
+        for flag in (False, True):
+            pack.UNPACK_PAIR = flag
+            jax.clear_caches()
+            outs[flag] = encoder.compress(x, 17, codec="delta")
+        assert outs[True] == outs[False]
+    finally:
+        pack.UNPACK_PAIR = prev
+        jax.clear_caches()
