@@ -83,6 +83,12 @@ LOWDIM_PASS = os.environ.get("SPRINTZ_LOWDIM_PASS", "auto")
 # "scatter" is the legacy (ndata*8, D) row scatter (5.0 GB/s).
 RUNS_TIMELINE = os.environ.get("SPRINTZ_RUNS_TIMELINE", "auto")
 
+# Block-folded rowmajor delta decode: fold G = 128/D consecutive blocks
+# into one 128-lane virtual block so every N-scale tensor is full-lane
+# (session-34 diagnosis: D-minor < 128 pads ~2-4x). Default decided by
+# the session-36 device A/B; force with SPRINTZ_ROWMAJOR_FOLD=1/0.
+ROWMAJOR_FOLD = os.environ.get("SPRINTZ_ROWMAJOR_FOLD", "0") == "1"
+
 # Dense-buffer width bucketing on the rowmajor decode path ("pow2" or
 # "mult8"). The unpack weight tensor (c, D, maxb) scales with maxb and
 # dominates the headline pass's HBM traffic (docs/STATUS.md), but pow2
@@ -559,6 +565,58 @@ if _have_jax:
 
 if _have_jax:
 
+    def _fold_ok(codec, ndims, nb):
+        g = 128 // ndims if ndims and 128 % ndims == 0 else 0
+        return (ROWMAJOR_FOLD and codec == "delta" and 1 < g
+                and nb % g == 0)
+
+    def _decode_rowmajor_folded(dense, widths, elem_sz):
+        """Delta rowmajor decode with G = 128/D consecutive blocks folded
+        into one 128-lane virtual block — the rowmajor analogue of the
+        grouped lowdim pass. At D < 128 every bf16/i32 tensor with a
+        D-minor pads its lane dim to 128 (session-34 diagnosis: the D=64
+        headline moves ~2x its logical bytes); folding makes the unpack
+        output, zigzag, and prefix all full-lane. The per-chain prefix
+        (lane (g, d) sums real blocks vG+g over v) is fixed up exactly:
+        real block vG+g needs + sum_{g'<g} incl[g'][v] +
+        sum_{g'>g} excl[g'][v], a G-length static cumsum over (nbf, G, D)
+        block sums. Delta only — FIRE's recurrence is nonlinear so a
+        post-add cannot splice chains.
+
+        dense: (nb, 8, MAXB); widths: (nb, D). Returns (nb*8, D) narrow.
+        """
+        from .models.forecasters import hierarchical_cumsum
+        from .ops.bitmath import zigzag_decode
+
+        eb = 8 * elem_sz
+        nb, _, maxb = dense.shape
+        ndims = widths.shape[-1]
+        g = 128 // ndims
+        nbf = nb // g
+        d32 = dense.astype(jnp.int32)
+        w32 = widths.astype(jnp.int32)
+        dense_f = d32.reshape(nbf, g, BLOCK_SZ, maxb).transpose(
+            0, 2, 1, 3).reshape(nbf, BLOCK_SZ, g * maxb)
+        widths_f = w32.reshape(nbf, g * ndims)
+        off0 = jnp.cumsum(w32, axis=1) - w32  # (nb, D)
+        off_f = (off0.reshape(nbf, g, ndims)
+                 + (jnp.arange(g) * 8 * maxb)[None, :, None]
+                 ).reshape(nbf, g * ndims)
+        errs = unpack_rows_rowmajor(dense_f, widths_f, off=off_f)
+        deltas = zigzag_decode(errs, eb)  # (nbf, 8, 128)
+        pref = hierarchical_cumsum(
+            deltas.reshape(nbf * BLOCK_SZ, g * ndims), value_bits=eb
+        ).reshape(nbf, BLOCK_SZ, g, ndims)
+        incl = pref[:, -1]  # (nbf, G, D) chain-inclusive through block v
+        excl = jnp.concatenate(
+            [jnp.zeros_like(incl[:1]), incl[:-1]], axis=0)
+        pre = jnp.cumsum(incl, axis=1) - incl  # sum_{g'<g} incl[g'][v]
+        post = jnp.flip(
+            jnp.cumsum(jnp.flip(excl, 1), axis=1) - jnp.flip(excl, 1), 1)
+        vals = (pref + (pre + post)[:, None]) & ((1 << eb) - 1)
+        out = vals.astype(jnp.uint8 if elem_sz == 1 else jnp.uint16)
+        return out.transpose(0, 2, 1, 3).reshape(nb * BLOCK_SZ, ndims)
+
     @functools.partial(jax.jit, static_argnames=(
         "codec", "elem_sz", "lowdim"))
     def _decode_pass_contiguous(dense, widths, codec, elem_sz, lowdim):
@@ -575,6 +633,8 @@ if _have_jax:
             if lp == "grouped":
                 vals, _ = _decode_lowdim_grouped(dense, widths, elem_sz)
                 return vals
+        if not lowdim and _fold_ok(codec, widths.shape[-1], dense.shape[0]):
+            return _decode_rowmajor_folded(dense, widths, elem_sz)
         dense = dense.astype(jnp.int32)
         widths = widths.astype(jnp.int32)
         if lowdim:

@@ -260,7 +260,8 @@ def pack_dims_lowdim(errs_zz: jnp.ndarray, widths: jnp.ndarray,
 
 
 def unpack_rows_rowmajor(dense: jnp.ndarray, widths: jnp.ndarray,
-                         pair: bool = False) -> jnp.ndarray:
+                         pair: bool = False,
+                         off: jnp.ndarray | None = None) -> jnp.ndarray:
     """Extract per-dim fields from packed rows.
 
     dense: (nb, 8, MAXB) int32 bytes (payload rows, zero padded);
@@ -268,6 +269,9 @@ def unpack_rows_rowmajor(dense: jnp.ndarray, widths: jnp.ndarray,
     ``pair``: paired-dim extraction — one matmul window per dim PAIR,
     halving the weight tensor. VALID ONLY when every width <= 8 (u8
     streams); callers gate on elem_sz.
+    ``off``: precomputed (nb, D) bit offsets overriding the in-chunk
+    widths cumsum (the block-folded decode pass packs G real blocks
+    into one virtual row, so dim g*D+d starts at g*8*maxb + own off).
     """
     if _USE_PALLAS == "1":
         from .pallas_pack import unpack_rows_pallas
@@ -288,8 +292,9 @@ def unpack_rows_rowmajor(dense: jnp.ndarray, widths: jnp.ndarray,
     ndims = widths.shape[1]
     j = jnp.arange(maxb)
 
-    def chunk(dense_c, widths_c):
-        off = jnp.cumsum(widths_c, axis=1) - widths_c
+    def chunk(dense_c, widths_c, off_c=None):
+        off = (jnp.cumsum(widths_c, axis=1) - widths_c
+               if off_c is None else off_c.astype(jnp.int32))
         q = off >> 3  # (c, D)
         rel = j[None, None, :] - q[:, :, None]  # (c, D, MAXB)
         w = jnp.where(rel == 0, 1.0,
@@ -355,6 +360,8 @@ def unpack_rows_rowmajor(dense: jnp.ndarray, widths: jnp.ndarray,
         errs = jnp.stack([lo, hi], axis=-1).reshape(c, BLOCK_SZ, dp)
         return errs[:, :, :ndims]
 
+    if off is not None:
+        return _chunked(chunk, nb, dense, widths, off)
     if pair:
         return _chunked(chunk_pair, nb, dense, widths)
     return _chunked(chunk_s8 if MXU_IMPL == "s8" else chunk,

@@ -519,3 +519,28 @@ def test_pack_pair_identical(rng):
     finally:
         pack.UNPACK_PAIR = prev
         jax.clear_caches()
+
+
+@pytest.mark.parametrize("ndims,elem_sz", [(8, 1), (16, 2), (32, 1),
+                                           (64, 1), (64, 2)])
+def test_rowmajor_fold_identical(rng, ndims, elem_sz):
+    """The block-folded rowmajor delta decode (G = 128/D virtual lanes)
+    must match the unfolded pass bit-for-bit."""
+    from sprintz_tpu import decoder, encoder
+
+    dt = np.uint8 if elem_sz == 1 else np.uint16
+    x = (np.cumsum(rng.integers(-6, 7, (3000, ndims)), axis=0)
+         % (1 << (8 * elem_sz))).astype(dt).reshape(-1)
+    s = encoder.compress(x, ndims, codec="delta", elem_sz=elem_sz)
+    prev = decoder.ROWMAJOR_FOLD
+    try:
+        outs = {}
+        for flag in (False, True):
+            decoder.ROWMAJOR_FOLD = flag
+            jax.clear_caches()
+            outs[flag] = decoder.decompress(s, "delta", elem_sz)
+        np.testing.assert_array_equal(outs[True], outs[False])
+        np.testing.assert_array_equal(outs[True], x)
+    finally:
+        decoder.ROWMAJOR_FOLD = prev
+        jax.clear_caches()
