@@ -105,8 +105,26 @@ def devloop_time(kernel, args, iters, vary=0, chain=False,
         t1, t3 = timed(n), timed(3 * n)
         delta = t3 - t1
         if delta >= min_seconds or n >= (1 << 16):
-            return max(delta, 1e-9) / (2 * n)
+            break
         n = min(1 << 16, n * 4)
+    # Outlier guard (BENCH_r03 incident: a single multi-second relay
+    # stall inside ONE timed() at small n satisfies the >= min_seconds
+    # exit and records a 100-700x-off number — too slow if the stall
+    # hit t3, too fast if it hit t1). Stalls only ever ADD wall time,
+    # so the MIN of each endpoint over independent samples is
+    # stall-proof; re-sample until the slope of the mins is stable
+    # (two consecutive estimates within 20%), bounded at 4 samples.
+    t1s, t3s = [t1], [t3]
+    est = max(min(t3s) - min(t1s), 1e-9)
+    for _ in range(3):
+        t1s.append(timed(n))
+        t3s.append(timed(3 * n))
+        new = max(min(t3s) - min(t1s), 1e-9)
+        stable = abs(new - est) <= 0.2 * est
+        est = new
+        if stable:
+            break
+    return est / (2 * n)
 
 
 def _claim_device_with_retry():
@@ -158,16 +176,32 @@ def main():
     flat = raw.reshape(-1)
     nbytes = flat.nbytes
 
-    # byte-exact stream via the jax encoder (includes host plan/assembly)
+    # byte-exact stream via the jax encoder (includes host plan/assembly).
+    # e2e numbers are WARM (second call: compile excluded, device
+    # transfer through the relay included — the relay moves MBs at
+    # ~1 MB/s, an environment property; transfer is reported separately
+    # below so the host+kernel pipeline cost is visible on its own).
+    stream = encoder.compress(flat, ndims, codec="delta")  # warm/compile
     t0 = time.perf_counter()
     stream = encoder.compress(flat, ndims, codec="delta")
     t_enc_e2e = time.perf_counter() - t0
     ratio = nbytes / len(stream)
 
+    out = decoder.decompress(stream, codec="delta", elem_sz=1)  # warm
     t0 = time.perf_counter()
     out = decoder.decompress(stream, codec="delta", elem_sz=1)
     t_dec_e2e = time.perf_counter() - t0
     assert np.array_equal(out, flat), "bench roundtrip failed"
+
+    # transfer cost in isolation: one 8 MiB host->device->host round trip
+    xfer = jnp.asarray(flat)
+    jax.block_until_ready(xfer)
+    t0 = time.perf_counter()
+    xfer = jnp.asarray(np.bitwise_xor(flat, 1))
+    jax.block_until_ready(xfer)
+    np.asarray(xfer)
+    t_xfer = time.perf_counter() - t0
+    del xfer
 
     # headline: full decode pass steady state on device, using the same
     # dispatch production decompress() uses (contiguous fast path when
@@ -439,8 +473,9 @@ def main():
         fire_note += f"fire kernel (512 lanes): {errs.size / t_fire / 1e9:.3f} GB/s | "
 
     print(
-        f"encode e2e: {nbytes / t_enc_e2e / 1e9:.3f} GB/s | "
-        f"decode e2e: {nbytes / t_dec_e2e / 1e9:.3f} GB/s | "
+        f"encode e2e (warm): {nbytes / t_enc_e2e / 1e9:.3f} GB/s | "
+        f"decode e2e (warm): {nbytes / t_dec_e2e / 1e9:.3f} GB/s | "
+        f"transfer rt (8 MiB): {nbytes / t_xfer / 1e9:.3f} GB/s | "
         f"decode kernel: {gbps:.3f} GB/s | "
         f"{fire_note}"
         f"ratio: {ratio:.3f}x",

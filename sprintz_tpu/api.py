@@ -121,8 +121,14 @@ class SprintzCodec:
         same_shape = (arrays and all(
             np.asarray(a).ndim == 2 and a.shape == arrays[0].shape
             for a in arrays))
+        # the batched fast path infers elem_sz from the array dtype, so
+        # it must match the codec's configured width — otherwise fall
+        # through to per-stream compress, whose _as_flat raises the
+        # same TypeError the single-stream API would (ADVICE r3)
+        expected = np.dtype(np.uint8 if self.elem_sz == 1 else np.uint16)
         if (self.backend in ("auto", "jax") and self.entropy == "none"
-                and ndims is None and same_shape):
+                and ndims is None and same_shape
+                and np.asarray(arrays[0]).dtype == expected):
             try:
                 from . import encoder as _jax_encoder
 

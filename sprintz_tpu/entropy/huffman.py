@@ -54,6 +54,12 @@ MAX_CODE_LEN = 12
 # >200 MB/s bar (231/308 MB/s). SPRINTZ_HUFF_CHUNK=4096 recovers the
 # ratio-first setting for host-only pipelines.
 DEFAULT_CHUNK_SYMBOLS = int(os.environ.get("SPRINTZ_HUFF_CHUNK", 128))
+# "auto" decode only routes to the device kernel at/above this stream
+# size: each dispatch through this environment's relay costs ~60 ms,
+# which the 7.8 GB/s kernel only amortizes on multi-MB streams. Set to
+# 0 on direct-attached TPUs.
+HUFF_DEVICE_MIN_BYTES = int(
+    os.environ.get("SPRINTZ_HUFF_DEVICE_MIN", 1 << 22))
 _FLAG_V2 = 1
 _FLAG_SIZES_U16 = 2
 
@@ -217,8 +223,17 @@ def _unpack_table(buf: bytes) -> HuffmanTable:
 
 def _build_head(n: int, chunk_symbols: int, nchunks: int, t: HuffmanTable,
                 sizes: np.ndarray) -> bytes:
-    """v2 stream header; sizes shrink to u16 whenever they fit."""
-    assert chunk_symbols < (1 << 16), "v2 header stores chunk_symbols as u16"
+    """v2 stream header; sizes shrink to u16 whenever they fit.
+
+    chunk_symbols must fit u16. Readback caveat: a hypothetical v1
+    stream written with chunk_symbols >= 65536 would alias the v2 flags
+    field (its high half is _parse's flags==0 discriminator); v1 writers
+    in this repo never exceeded 4096, so detection is sound in practice.
+    """
+    if chunk_symbols >= (1 << 16):
+        raise ValueError(
+            f"chunk_symbols must fit in u16, got {chunk_symbols} "
+            "(the v2 header stores it as u16)")
     u16_ok = sizes.size == 0 or int(sizes.max()) < (1 << 16)
     flags = _FLAG_V2 | (_FLAG_SIZES_U16 if u16_ok else 0)
     return (np.uint32(n).tobytes()
@@ -241,6 +256,9 @@ def huff_compress(data: np.ndarray | bytes,
     are the bottleneck; host keeps table build + ragged assembly."""
     from ..native_host import huff_encode_native
 
+    if chunk_symbols >= (1 << 16):
+        raise ValueError(
+            f"chunk_symbols must fit in u16, got {chunk_symbols}")
     if backend == "device":
         return huff_compress_device(data, chunk_symbols, table)
     arr = np.frombuffer(data, dtype=np.uint8) if isinstance(
@@ -323,12 +341,22 @@ def huff_decompress(buf: bytes, backend: str = "auto") -> np.ndarray:
     n, chunk_symbols, nchunks, t, sizes, offsets = _parse(buf)
     if n == 0:
         return np.zeros(0, dtype=np.uint8)
-    if backend == "jax" or (backend == "auto" and _device_platform_nonhost()):
+    # "auto" routes to the device kernel only for streams big enough to
+    # amortize a dispatch (this environment's relay adds ~60 ms per
+    # dispatch — CLAUDE.md; direct-attached deployments can set the
+    # threshold to 0), and treats ANY device-path failure as a reason
+    # to fall through to the host loops rather than propagate
+    # (ADVICE r3). backend="jax" forces the kernel and propagates.
+    want_device = backend == "jax" or (
+        backend == "auto" and _device_platform_nonhost()
+        and n >= HUFF_DEVICE_MIN_BYTES)
+    if want_device:
         try:
             return _decode_jax(buf, n, chunk_symbols, nchunks, t, sizes,
                                offsets)
-        except ImportError:
-            pass
+        except Exception:
+            if backend == "jax":
+                raise
     if backend in ("auto", "native"):
         from ..native_host import huff_decode_native
 

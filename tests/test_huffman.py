@@ -157,3 +157,31 @@ def test_pallas_decode_interpret(rng, cs):
         out = ph.decode_jax_pallas(words, tables, cs2, nchunks, n,
                                    interpret=True)
         np.testing.assert_array_equal(out, data, err_msg=f"{kind} cs={cs}")
+
+
+def test_chunk_symbols_u16_limit(rng):
+    # ADVICE r3: the v2 header stores chunk_symbols as u16 — oversize
+    # values must raise (not assert) before any encode work
+    data = rng.integers(0, 256, 1000).astype(np.uint8)
+    with pytest.raises(ValueError, match="u16"):
+        huff_compress(data, chunk_symbols=1 << 16)
+
+
+def test_auto_decode_survives_device_failure(rng, monkeypatch):
+    # ADVICE r3: "auto" must fall back to the host loops when the
+    # device path raises anything, not just ImportError
+    import sprintz_tpu.entropy.huffman as hf
+
+    data = rng.integers(0, 200, 5000).astype(np.uint8)
+    comp = huff_compress(data)
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated device failure")
+
+    monkeypatch.setattr(hf, "_decode_jax", boom)
+    monkeypatch.setattr(hf, "_device_platform_nonhost", lambda: True)
+    monkeypatch.setattr(hf, "HUFF_DEVICE_MIN_BYTES", 0)
+    np.testing.assert_array_equal(huff_decompress(comp, backend="auto"),
+                                  data)
+    with pytest.raises(RuntimeError, match="simulated"):
+        huff_decompress(comp, backend="jax")

@@ -171,3 +171,18 @@ def test_api_batch_roundtrip(rng):
         assert bufs == [c.compress(a) for a in arrs]
         for a, o in zip(arrs, c.decompress_batch(bufs)):
             np.testing.assert_array_equal(o, a.reshape(-1))
+
+def test_api_batch_dtype_mismatch_raises(rng):
+    """ADVICE r3 (medium): a SprintzCodec(elem_sz=1) given uint16 arrays
+    must raise like the single-stream path, not silently write u16
+    streams through the batched fast path."""
+    from sprintz_tpu.api import SprintzCodec
+
+    c = SprintzCodec("delta", 1)
+    arrs = [rng.integers(0, 1 << 16, (160, 4)).astype(np.uint16)
+            for _ in range(2)]
+    with pytest.raises(TypeError):
+        c.compress_batch(arrs)
+    # and the right dtype still takes the fast path / round-trips
+    ok = [a.astype(np.uint8) for a in arrs]
+    assert c.compress_batch(ok) == [c.compress(a) for a in ok]
