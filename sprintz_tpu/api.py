@@ -69,10 +69,25 @@ class SprintzCodec:
         """Compress a (rows, ndims) array or flat row-major stream."""
         stream = self._compress_sprintz(data, ndims)
         if self.entropy == "huffman":
-            from .entropy import huff_compress
-
-            return huff_compress(stream)
+            return self._entropy_wrap(stream)
         return stream
+
+    @staticmethod
+    def _entropy_wrap(stream: bytes) -> bytes:
+        """+Huf entropy stage with a ZERO-overhead stored escape: when
+        Huffman coding does not shrink the stream, the plain sprintz
+        stream is emitted verbatim (decompress routes on the strict
+        huffman-container check, entropy/huffman.py:is_container), so
+        +Huf never loses a single byte to plain sprintz. A plain stream
+        that would itself misparse as a container (astronomically rare)
+        gets the deterministic 12-byte stored wrapper instead."""
+        from .entropy import huff_compress
+        from .entropy.huffman import is_container
+
+        coded = huff_compress(stream)
+        if len(coded) >= len(stream) and not is_container(stream):
+            return stream
+        return coded
 
     def _compress_sprintz(self, data: np.ndarray, ndims: int | None) -> bytes:
         flat, inferred = self._as_flat(data)
@@ -107,9 +122,7 @@ class SprintzCodec:
         stream, sc = compress_with_sidecar(
             flat, ndims, codec=self.codec, every_groups=every_groups)
         if self.entropy == "huffman":
-            from .entropy import huff_compress
-
-            stream = huff_compress(stream)
+            stream = self._entropy_wrap(stream)
         return stream, sc
 
     def compress_batch(self, arrays: list[np.ndarray],
@@ -164,8 +177,11 @@ class SprintzCodec:
         matching the reference)."""
         if self.entropy == "huffman":
             from .entropy import huff_decompress
+            from .entropy.huffman import is_container
 
-            buf = huff_decompress(buf).tobytes()
+            if is_container(buf):
+                buf = huff_decompress(buf).tobytes()
+            # else: zero-overhead stored escape — plain sprintz verbatim
         if sidecar is not None and self.backend in ("auto", "jax"):
             from .checkpoint import decompress_parallel
 

@@ -231,34 +231,55 @@ def hierarchical_cumsum_last(x: jnp.ndarray, chunk: int = 256,
 # ------------------------------------------------------------------ FIRE
 
 
-def _fire_coef(counter: jnp.ndarray, elem_bits: int, truncate_coeffs: bool
-               ) -> jnp.ndarray:
+def _fire_coef(counter: jnp.ndarray, elem_bits: int, truncate_coeffs: bool,
+               learning_shift: int = FIRE_LEARNING_SHIFT) -> jnp.ndarray:
     if truncate_coeffs:
         shft = elem_bits - 4
-        coef = (counter >> (FIRE_LEARNING_SHIFT + shft)) << shft
+        coef = (counter >> (learning_shift + shft)) << shft
         return sign_extend(coef, 16)  # int16_t coef (sprintz_xff_rle.cpp:221)
-    return counter >> FIRE_LEARNING_SHIFT  # full precision (lowdim variant)
+    return counter >> learning_shift  # full precision (lowdim variant)
 
 
 def _counter_bits(elem_bits: int) -> int:
     return 16 if elem_bits == 8 else 32
 
 
-def _fire_block_step(carry, block_vals, *, elem_bits, truncate_coeffs, decode):
+def _fire_block_step(carry, block_vals, *, elem_bits, truncate_coeffs, decode,
+                     learning_shift=FIRE_LEARNING_SHIFT, transform=False):
     """One 8-row FIRE step, vectorized over lanes.
 
     carry: (prev_val, prev_delta, counter) int32 lane arrays.
     block_vals: (8, ...) int32 — raw values (encode) or zigzag errs (decode).
     Returns (new_carry, (8, ...) int32 output — errs (encode) or vals).
+
+    ``transform=True`` selects the standalone-preprocessor variant
+    (predict.cpp:56-300, VERDICT r3 item 8): raw (non-zigzag) errors,
+    divergent learning_shift (1 for u8, 3 for u16 — predict.cpp:62), and
+    the SIMD kernel's exact prediction quirks — u8 even-index dims
+    multiply the ZERO-extended previous delta (the `_mm256_and_si256(
+    prev_deltas, low_mask)` even-byte path, predict.cpp:160-169) while
+    odd dims sign-extend; u16 predictions are `mulhi << 2`
+    (predict.cpp:233-235), unlike the codec's plain `>> 16`.
     """
     prev_val, prev_delta, counter = carry
-    coef = _fire_coef(counter, elem_bits, truncate_coeffs)
+    coef = _fire_coef(counter, elem_bits, truncate_coeffs, learning_shift)
     grad_sum = jnp.zeros_like(prev_delta)
+    if transform and elem_bits == 8:
+        # dim-parity mask along the lane (dims) axis
+        even = (jnp.arange(prev_delta.shape[-1]) % 2) == 0
     outs = []
     for i in range(BLOCK_SZ):
-        prediction = sign_extend((prev_delta * coef) >> elem_bits, elem_bits)
+        if transform and elem_bits == 8:
+            pd = jnp.where(even, prev_delta & 0xFF, prev_delta)
+            prediction = sign_extend((pd * coef) >> 8, 8)
+        elif transform:
+            prediction = sign_extend(((prev_delta * coef) >> 16) << 2, 16)
+        else:
+            prediction = sign_extend(
+                (prev_delta * coef) >> elem_bits, elem_bits)
         if decode:
-            err = zigzag_decode(block_vals[i], elem_bits)
+            err = (block_vals[i] if transform
+                   else zigzag_decode(block_vals[i], elem_bits))
             delta = sign_extend(err + prediction, elem_bits)
             val = (prev_val + delta) & ((1 << elem_bits) - 1)
             outs.append(val)
@@ -266,7 +287,8 @@ def _fire_block_step(carry, block_vals, *, elem_bits, truncate_coeffs, decode):
             val = block_vals[i]
             delta = sign_extend(val - prev_val, elem_bits)
             err = sign_extend(delta - prediction, elem_bits)
-            outs.append(zigzag_encode(err, elem_bits))
+            outs.append(err if transform
+                        else zigzag_encode(err, elem_bits))
         if i % 2 == 1:  # learning_downsample == 2
             # icopysign(err, prev_delta) (util.h:63-74)
             mask = err >> 31
@@ -281,7 +303,9 @@ def _fire_block_step(carry, block_vals, *, elem_bits, truncate_coeffs, decode):
 def _fire_scan(vals_or_errs: jnp.ndarray, elem_bits: int,
                truncate_coeffs: bool, decode: bool,
                init_state=None, return_states: bool = False,
-               return_final: bool = False):
+               return_final: bool = False,
+               learning_shift: int = FIRE_LEARNING_SHIFT,
+               transform: bool = False):
     """Scan FIRE over blocks. Input (nb, 8, ...) int32; output same shape.
 
     ``init_state``: optional (prev_val, prev_delta, counter) carry — the
@@ -298,7 +322,8 @@ def _fire_scan(vals_or_errs: jnp.ndarray, elem_bits: int,
         jnp.asarray(s, jnp.int32) + zero for s in init_state)
     step = functools.partial(
         _fire_block_step, elem_bits=elem_bits,
-        truncate_coeffs=truncate_coeffs, decode=decode)
+        truncate_coeffs=truncate_coeffs, decode=decode,
+        learning_shift=learning_shift, transform=transform)
     if return_states:
         def step_with_state(carry, block):
             new_carry, out = step(carry, block)

@@ -80,7 +80,10 @@ def test_device_encode_byte_identical(rng, cs):
     for kind in ("rand", "small", "sparse", "zeros"):
         for n in (100, 10_007, 50_000):
             data = make_stream(rng, n, 1, kind)
-            ref = huff_compress(data, chunk_symbols=cs)
+            # compare emitters below the stored-escape wrapper (rand
+            # data triggers the escape in the public API)
+            import sprintz_tpu.entropy.huffman as hf
+            ref = hf._huff_compress_host(data, cs, None)
             dev = huff_compress_device(data, chunk_symbols=cs)
             assert dev == ref, f"{kind} n={n} cs={cs}"
 
@@ -185,3 +188,82 @@ def test_auto_decode_survives_device_failure(rng, monkeypatch):
                                   data)
     with pytest.raises(RuntimeError, match="simulated"):
         huff_decompress(comp, backend="jax")
+
+
+def test_stored_escape_never_loses(rng):
+    """VERDICT r4 item 2: +Huf must never lose more than the 12-byte
+    stored header to plain sprintz — incompressible input triggers the
+    stored escape on every backend."""
+    import sprintz_tpu.entropy.huffman as hf
+
+    data = rng.integers(0, 256, 50_000).astype(np.uint8)  # ~8 bits/sym
+    for backend in ("native", "device"):
+        comp = huff_compress(data, chunk_symbols=128, backend=backend)
+        assert len(comp) == data.size + hf._STORED_HEAD_LEN
+        np.testing.assert_array_equal(huff_decompress(comp), data)
+        for dec_backend in ("native", "numpy"):
+            np.testing.assert_array_equal(
+                huff_decompress(comp, backend=dec_backend), data)
+    # compressible input must still encode
+    smooth = (np.arange(50_000) % 7).astype(np.uint8)
+    comp = huff_compress(smooth, chunk_symbols=128)
+    assert len(comp) < smooth.size // 2
+    np.testing.assert_array_equal(huff_decompress(comp), smooth)
+
+
+def test_auto_chunk_size(rng, monkeypatch):
+    import sprintz_tpu.entropy.huffman as hf
+
+    monkeypatch.delenv("SPRINTZ_HUFF_CHUNK", raising=False)
+    assert hf.auto_chunk_symbols(1000) == 4096
+    assert hf.auto_chunk_symbols(hf.HUFF_DEVICE_MIN_BYTES) == \
+        hf.DEFAULT_CHUNK_SYMBOLS
+    data = (rng.integers(0, 9, 30_000) ** 2 % 256).astype(np.uint8)
+    comp_auto = huff_compress(data)  # small stream -> cs 4096
+    comp_128 = huff_compress(data, chunk_symbols=128)
+    assert len(comp_auto) <= len(comp_128)
+    np.testing.assert_array_equal(huff_decompress(comp_auto), data)
+
+
+def test_codec_entropy_zero_overhead_escape(rng):
+    """The +Huf codec never emits a single byte more than plain sprintz:
+    when Huffman doesn't pay, the plain stream ships verbatim and
+    decompress routes on the strict container check."""
+    import sprintz_tpu
+    import sprintz_tpu.entropy.huffman as hf
+
+    plain = sprintz_tpu.SprintzCodec("delta", 1)
+    huf = sprintz_tpu.SprintzCodec("delta", 1, entropy="huffman")
+    # high-entropy input -> sprintz output incompressible -> verbatim
+    x = rng.integers(0, 256, (500, 7)).astype(np.uint8)
+    b_plain, b_huf = plain.compress(x), huf.compress(x)
+    assert b_huf == b_plain  # zero overhead, byte-identical
+    assert not hf.is_container(b_plain)
+    np.testing.assert_array_equal(huf.decompress(b_huf), x.reshape(-1))
+    # smooth input -> Huffman wins -> container
+    y = np.cumsum(rng.integers(-2, 3, (5000, 7)), axis=0).astype(np.uint8)
+    c_plain, c_huf = plain.compress(y), huf.compress(y)
+    assert len(c_huf) < len(c_plain)
+    assert hf.is_container(c_huf)
+    np.testing.assert_array_equal(huf.decompress(c_huf), y.reshape(-1))
+
+
+def test_is_container_strictness(rng):
+    import sprintz_tpu.entropy.huffman as hf
+
+    for n in (0, 1, 100, 10_007):
+        data = rng.integers(0, 17, n).astype(np.uint8)
+        for cs in (128, 4096):
+            assert hf.is_container(huff_compress(data, chunk_symbols=cs))
+        assert hf.is_container(hf._stored_stream(data, 4096))
+    # truncation / extension break the exact-length match
+    buf = huff_compress((np.arange(10_000) % 9).astype(np.uint8))
+    assert hf.is_container(buf)
+    assert not hf.is_container(buf[:-1])
+    assert not hf.is_container(buf + b"\0")
+    assert not hf.is_container(b"")
+    assert not hf.is_container(b"\0" * 11)
+    # random blobs essentially never validate
+    hits = sum(hf.is_container(rng.integers(0, 256, 64).astype(
+        np.uint8).tobytes()) for _ in range(200))
+    assert hits == 0
