@@ -19,10 +19,11 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import os
+
 
 import numpy as np
 
+from . import config
 from .constants import (
     BLOCK_SZ,
     GROUP_SZ_BLOCKS,
@@ -55,12 +56,12 @@ CHUNK_OUT_BYTES = 64 << 20
 # tensors keep the sample axis minor, fixing the 30x VPU lane starvation
 # the session-6 isolation measured for the (N, D<=4)-minor layout. Read
 # at trace time; jax.clear_caches() after changing in-process.
-LOWDIM_DMAJOR = os.environ.get("SPRINTZ_LOWDIM_DMAJOR", "1") == "1"
+LOWDIM_DMAJOR = config.get("SPRINTZ_LOWDIM_DMAJOR") == "1"
 
 # dmajor extraction formulation: "dyn" = per-element variable-shift
 # window extraction (~10 ops/sample-slot); "strata" = width-stratified
 # static shifts (~25 ops/slot; lost to op-count on device, session 9).
-LOWDIM_DMAJOR_IMPL = os.environ.get("SPRINTZ_LOWDIM_DMAJOR_IMPL", "dyn")
+LOWDIM_DMAJOR_IMPL = config.get("SPRINTZ_LOWDIM_DMAJOR_IMPL")
 
 # Lowdim delta decode pass: "legacy" (batched einsum + (N, D) prefix),
 # "dmajor" (8 dim-major (D, nb) slots), "grouped" (G = 128/D blocks
@@ -68,7 +69,7 @@ LOWDIM_DMAJOR_IMPL = os.environ.get("SPRINTZ_LOWDIM_DMAJOR_IMPL", "dyn")
 # (device-A/B winners, sessions 12/13: grouped when D divides 128 —
 # d4u8 1.21x, d2u16 1.41x, d1u8 1.34x over legacy; legacy for d3,
 # where the group padding made grouped 1.5x slower).
-LOWDIM_PASS = os.environ.get("SPRINTZ_LOWDIM_PASS", "auto")
+LOWDIM_PASS = config.get("SPRINTZ_LOWDIM_PASS")
 
 # Runs-stream timeline materialization in _decode_pass: "auto" picks
 # per stream shape between "gather" (block starts are 8-aligned, so the
@@ -81,13 +82,13 @@ LOWDIM_PASS = os.environ.get("SPRINTZ_LOWDIM_PASS", "auto")
 # dominates when runs outnumber data), u16 a tie — so "auto" = dgather
 # only when data blocks cover >= 60% of the timeline and elem_sz == 1.
 # "scatter" is the legacy (ndata*8, D) row scatter (5.0 GB/s).
-RUNS_TIMELINE = os.environ.get("SPRINTZ_RUNS_TIMELINE", "auto")
+RUNS_TIMELINE = config.get("SPRINTZ_RUNS_TIMELINE")
 
 # Block-folded rowmajor delta decode: fold G = 128/D consecutive blocks
 # into one 128-lane virtual block so every N-scale tensor is full-lane
 # (session-34 diagnosis: D-minor < 128 pads ~2-4x). Default decided by
 # the session-36 device A/B; force with SPRINTZ_ROWMAJOR_FOLD=1/0.
-ROWMAJOR_FOLD = os.environ.get("SPRINTZ_ROWMAJOR_FOLD", "0") == "1"
+ROWMAJOR_FOLD = config.get("SPRINTZ_ROWMAJOR_FOLD") == "1"
 
 # Dense-buffer width bucketing on the rowmajor decode path ("pow2" or
 # "mult8"). The unpack weight tensor (c, D, maxb) scales with maxb and
@@ -95,7 +96,7 @@ ROWMAJOR_FOLD = os.environ.get("SPRINTZ_ROWMAJOR_FOLD", "0") == "1"
 # rounds the headline stream's rb_max ~ 40 bytes straight back to 64 —
 # no effective shrink. mult8 buckets to multiples of 8 (more jit
 # variants, up to 1.6x smaller weights). Device A/B: session 21.
-MAXB_BUCKET = os.environ.get("SPRINTZ_MAXB_BUCKET", "pow2")
+MAXB_BUCKET = config.get("SPRINTZ_MAXB_BUCKET")
 
 
 def _lowdim_pass(codec: str, ndims: int, elem_sz: int) -> str:
@@ -862,7 +863,7 @@ def ragged_order(widths: np.ndarray):
 
 
 def _use_ragged() -> bool:
-    return os.environ.get("SPRINTZ_RAGGED_DECODE") == "1"
+    return config.flag("SPRINTZ_RAGGED_DECODE")
 
 
 def group_by_signature(idx: StreamIndex, max_blowup: float = 3.0):
@@ -1209,7 +1210,7 @@ def decompress(
         # session-4 A/B in STATUS.md): padding each signature's block
         # list to a power-of-two count inflated device work 3x, dwarfing
         # the shared-weight savings. Opt-in for re-evaluation.
-        use_grouped = os.environ.get("SPRINTZ_GROUPED_DECODE") == "1"
+        use_grouped = config.flag("SPRINTZ_GROUPED_DECODE")
         grouping = (group_by_signature(idx)
                     if use_grouped and not lowdim else None)
         if grouping is not None:

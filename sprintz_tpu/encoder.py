@@ -17,10 +17,10 @@ Output is byte-identical to the reference/golden encoders.
 from __future__ import annotations
 
 import functools
-import os
 
 import numpy as np
 
+from . import config
 from .constants import (
     BLOCK_SZ,
     GROUP_SZ_BLOCKS,
@@ -49,17 +49,18 @@ except Exception:  # pragma: no cover
 # starvation fix as decoder.LOWDIM_DMAJOR (session-6 isolation: the
 # (N, D<=4)-minor layout ran the encode pass at 0.65 GB/s for every
 # formulation). Read at trace time; jax.clear_caches() after changing.
-LOWDIM_DMAJOR = os.environ.get("SPRINTZ_LOWDIM_DMAJOR", "1") == "1"
+LOWDIM_DMAJOR = config.get("SPRINTZ_LOWDIM_DMAJOR") == "1"
 
 # dmajor pack formulation — see decoder.LOWDIM_DMAJOR_IMPL
-LOWDIM_DMAJOR_IMPL = os.environ.get("SPRINTZ_LOWDIM_DMAJOR_IMPL", "dyn")
+LOWDIM_DMAJOR_IMPL = config.get("SPRINTZ_LOWDIM_DMAJOR_IMPL")
 
 # Lowdim delta encode pass: "dmajor" (8 dim-major (D, nb) slots — the
 # 1.9x session-9/11 winner over legacy), "grouped" (G = 128/D blocks
 # folded so every N-scale tensor is (c, 8, ~128) full tiles — the
 # formulation that won decode in sessions 12/13), "legacy".
-LOWDIM_ENCODE = os.environ.get(
-    "SPRINTZ_LOWDIM_ENCODE", "dmajor" if LOWDIM_DMAJOR else "legacy")
+LOWDIM_ENCODE = config.get(
+    "SPRINTZ_LOWDIM_ENCODE",
+    default="dmajor" if LOWDIM_DMAJOR else "legacy")
 
 
 if _have_jax:

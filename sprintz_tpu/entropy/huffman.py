@@ -44,6 +44,8 @@ import os
 
 import numpy as np
 
+from .. import config
+
 MAX_CODE_LEN = 12
 # Smaller chunks = more decode lanes, fewer sequential steps, AND less
 # per-step refill traffic on the device path (it reads the chunk's word
@@ -53,13 +55,12 @@ MAX_CODE_LEN = 12
 # across the mini corpus and host enc/dec stay above the paper's
 # >200 MB/s bar (231/308 MB/s). SPRINTZ_HUFF_CHUNK=4096 recovers the
 # ratio-first setting for host-only pipelines.
-DEFAULT_CHUNK_SYMBOLS = int(os.environ.get("SPRINTZ_HUFF_CHUNK", 128))
+DEFAULT_CHUNK_SYMBOLS = config.get("SPRINTZ_HUFF_CHUNK", default=128)
 # "auto" decode only routes to the device kernel at/above this stream
 # size: each dispatch through this environment's relay costs ~60 ms,
 # which the 7.8 GB/s kernel only amortizes on multi-MB streams. Set to
 # 0 on direct-attached TPUs.
-HUFF_DEVICE_MIN_BYTES = int(
-    os.environ.get("SPRINTZ_HUFF_DEVICE_MIN", 1 << 22))
+HUFF_DEVICE_MIN_BYTES = config.get("SPRINTZ_HUFF_DEVICE_MIN")
 _FLAG_V2 = 1
 _FLAG_SIZES_U16 = 2
 # stored (uncompressed) stream: 12-byte header + raw payload, chosen at
@@ -255,7 +256,7 @@ def auto_chunk_symbols(n: int) -> int:
     cost nothing and recover the ~2% ratio the device-friendly cs=128
     gives up; at device scale cs=128 is the Pallas kernel's sweet spot
     (sessions 26/29). SPRINTZ_HUFF_CHUNK overrides both."""
-    if os.environ.get("SPRINTZ_HUFF_CHUNK"):
+    if os.environ.get("SPRINTZ_HUFF_CHUNK"):  # explicit override wins
         return DEFAULT_CHUNK_SYMBOLS
     return DEFAULT_CHUNK_SYMBOLS if n >= HUFF_DEVICE_MIN_BYTES else 4096
 
@@ -533,7 +534,7 @@ def _decode_jax(buf, n, chunk_symbols, nchunks, t, sizes, offsets):
 
     from . import pallas_huffman as ph
 
-    mode = os.environ.get("SPRINTZ_HUFF_DEVICE", "auto")
+    mode = config.get("SPRINTZ_HUFF_DEVICE")
     use_pallas = ph.decode_pallas_available(words.shape[1], cs) and (
         mode == "pallas"
         or (mode == "auto" and _pallas_on_accelerator()))

@@ -16,12 +16,12 @@ TPU-native design notes:
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import config
 from ..constants import BLOCK_SZ, FIRE_LEARNING_SHIFT
 from ..ops.bitmath import sign_extend, zigzag_decode, zigzag_encode
 
@@ -40,7 +40,7 @@ def delta_encode(rows: jnp.ndarray, elem_bits: int) -> jnp.ndarray:
 # 2) measured s8 1.5x faster for the two-plane u16 prefix and at parity
 # for u8, while s8 LOSES 2.4x for the unpack dot — so the defaults
 # differ per site. Chunk 256 beat 128/512/1024 on v5e for both formats.
-PREFIX_IMPL = os.environ.get("SPRINTZ_PREFIX_IMPL", "s8")
+PREFIX_IMPL = config.get("SPRINTZ_PREFIX_IMPL")
 
 # Fold the chunk axis into the triangular matmul's minor dimension when
 # the natural minor dim (planes*F) is lane-starved: lowdim streams have
@@ -50,7 +50,7 @@ PREFIX_IMPL = os.environ.get("SPRINTZ_PREFIX_IMPL", "s8")
 # d64 rowmajor) — the scatter/gather moveaxis around the folded matmul
 # costs what the extra lanes save — so "auto" now never folds and the
 # flag remains for A/B ("1" forces on, "0" off).
-PREFIX_FOLD = os.environ.get("SPRINTZ_PREFIX_FOLD", "auto")
+PREFIX_FOLD = config.get("SPRINTZ_PREFIX_FOLD")
 
 # lax.scan unroll for the FIRE block scan: amortizes per-step scan
 # overhead across blocks (the carry chain is the only sequential
@@ -59,7 +59,7 @@ PREFIX_FOLD = os.environ.get("SPRINTZ_PREFIX_FOLD", "auto")
 # so 32 on TPU — but 32 sends XLA:CPU's LLVM into a multi-minute
 # compile (measured >15 min vs 7 s whole-program at 8), so the CPU
 # default stays 8. Resolved lazily at first trace, env-overridable.
-SCAN_UNROLL = int(os.environ.get("SPRINTZ_SCAN_UNROLL", "0")) or None
+SCAN_UNROLL = config.get("SPRINTZ_SCAN_UNROLL") or None
 
 
 def _scan_unroll() -> int:

@@ -22,12 +22,11 @@ intermediates.
 
 from __future__ import annotations
 
-import os
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import config
 from ..constants import BLOCK_SZ
 
 _CHUNK = 8192  # blocks per one-hot chunk
@@ -36,7 +35,7 @@ _CHUNK = 8192  # blocks per one-hot chunk
 # select-accumulate kernels (measured 4-5x slower on v5e, session 1),
 # "mxu" = the block-diagonal in-VMEM MXU-dot unpack (VERDICT r2 item 5
 # angle b). Flag is read at TRACE time.
-_USE_PALLAS = os.environ.get("SPRINTZ_USE_PALLAS", "0")
+_USE_PALLAS = config.get("SPRINTZ_USE_PALLAS")
 
 # Paired-dim unpack (u8 rowmajor only): one matmul window per dim PAIR
 # — halves the (c, MAXB, D) unpack weight tensor, the headline decode's
@@ -44,14 +43,14 @@ _USE_PALLAS = os.environ.get("SPRINTZ_USE_PALLAS", "0")
 # ((off&7) + w0 + w1 <= 23 bits) and the pair word tops at 2^24 - 1
 # (f32-exact). Decoder call sites gate on elem_sz == 1. Default decided
 # by the session-34 device A/B; force with SPRINTZ_UNPACK_PAIR=1/0.
-UNPACK_PAIR = os.environ.get("SPRINTZ_UNPACK_PAIR", "0") == "1"
+UNPACK_PAIR = config.get("SPRINTZ_UNPACK_PAIR") == "1"
 
 # MXU number format for the exact-matmul kernels: "bf16" (one matmul,
 # weights in {1,256,65536}) or "s8" (v5e native s8*s8->s32 — half the
 # weight bytes at twice the MXU rate; bytes are biased into [-128,127]
 # and debiased after, still exact integer arithmetic). NOTE: flag is read
 # at TRACE time — call jax.clear_caches() after changing it in-process.
-MXU_IMPL = os.environ.get("SPRINTZ_MXU_IMPL", "bf16")
+MXU_IMPL = config.get("SPRINTZ_MXU_IMPL")
 
 # Lowdim (column-major) kernel formulation. "select" is a pure VPU
 # int32 select-accumulate laid out with the BLOCK axis minor, built to
@@ -64,7 +63,7 @@ MXU_IMPL = os.environ.get("SPRINTZ_MXU_IMPL", "bf16")
 # width the field layout is fully static (lowdim bit offsets are r*w,
 # no cross-dim cumsum), so pack/unpack become static shifts + one
 # select per width — ~6x fewer element-ops than either other path.
-LOWDIM_IMPL = os.environ.get("SPRINTZ_LOWDIM_IMPL", "einsum")
+LOWDIM_IMPL = config.get("SPRINTZ_LOWDIM_IMPL")
 
 
 def _lowdim_widths(eb: int):
