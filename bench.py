@@ -425,14 +425,19 @@ def main():
                 and hf._pallas_on_accelerator()):
             # production TPU path: VMEM-resident Pallas kernel + the XLA
             # bitslice permutation tail (sessions 26/29)
+            fuse = ph.FUSE_PERM
+
             def kern(w, a, b, p):
-                packed = ph.decode_device_pallas(w, a, b, cs)
+                packed = ph.decode_device_pallas(
+                    w, a, b, cs, perm_b=p if fuse else None)
                 pt = packed.T
                 idx = jnp.stack([pt & 255, (pt >> 8) & 255], -1).reshape(
                     pt.shape[0], 2 * ((cs + 1) // 2))[:, :cs]
-                return hf._bitslice_lookup(idx, p, 8).astype(jnp.uint8)
+                if fuse:
+                    return idx.astype(jnp.uint8)
+                return hf._byte_lookup(idx, p).astype(jnp.uint8)
 
-            label = "pallas"
+            label = "pallas-fused" if fuse else "pallas"
         else:
             dec = hf.get_decode_device()
 

@@ -516,8 +516,8 @@ def device_decode_prep(buf: bytes):
     words = np.ascontiguousarray(
         dense.reshape(nc_pad, w32, 4).view(np.uint32)[..., 0].T)
     limits, adj, perm = t.canonical_tables()
-    perm_tt = pack_truth_tables(perm, 8)
-    return words, (limits, adj, perm_tt), chunk_symbols, nchunks, n
+    perm_b = pack_byte_lut(perm)
+    return words, (limits, adj, perm_b), chunk_symbols, nchunks, n
 
 
 def _decode_jax(buf, n, chunk_symbols, nchunks, t, sizes, offsets):
@@ -574,6 +574,34 @@ def pack_truth_tables(values: np.ndarray, nbits: int) -> np.ndarray:
     return t
 
 
+def pack_byte_lut(values: np.ndarray) -> np.ndarray:
+    """(256,) byte table -> (64,) uint32, 4 bytes per word little-endian,
+    for _byte_lookup."""
+    return np.ascontiguousarray(
+        values.astype(np.uint8)).view(np.uint32).copy()
+
+
+def _byte_lookup(idx, words64):
+    """256-entry BYTE table lookup as a flat 63-deep select.
+
+    Any 256-byte LUT is 64 u32 words; selecting the word by idx >> 2
+    (63 wheres) and extracting the byte by (idx & 3) * 8 costs ~66
+    elementwise ops — 1.35x fewer than the 8-output-bit truth-table
+    route (_bitslice_lookup: 8 x (7-select + shift/mask) ~ 88 ops),
+    which pays the word-select once PER OUTPUT BIT. Same no-gather,
+    no-small-minor-one-hot design constraints (CLAUDE.md; session 24).
+    idx: int32 in [0, 256); words64: (64,) uint32.
+    """
+    import jax.numpy as jnp
+
+    wsel = idx >> 2
+    w = jnp.broadcast_to(words64[0], idx.shape)
+    for j in range(1, 64):
+        w = jnp.where(wsel == j, words64[j], w)
+    return ((w >> ((idx & 3) * 8).astype(jnp.uint32)) & 255).astype(
+        jnp.int32)
+
+
 def _bitslice_lookup(idx, tables, nbits: int):
     """Arbitrary 256-entry table lookup as pure elementwise VPU ops.
 
@@ -606,13 +634,13 @@ def _make_decode_device():
     import jax.numpy as jnp
 
     @functools.partial(jax.jit, static_argnames=("chunk_symbols",))
-    def decode_device(words, limits, adj, perm_tt, chunk_symbols):
+    def decode_device(words, limits, adj, perm_b, chunk_symbols):
         """Gather-free chunk-parallel canonical Huffman decode.
 
         words: (W, C) uint32 little-endian payload words per chunk
         (lane-major: every slice the kernel touches has the huge C axis
         minor — full 128-lane tiles); limits/adj: canonical_tables();
-        perm_tt: pack_truth_tables(perm, 8). Returns (C, chunk_symbols)
+        perm_b: pack_byte_lut(perm). Returns (C, chunk_symbols)
         uint8 symbols (junk past each chunk's true payload — callers
         slice). Every op is elementwise/reduce on full-minor arrays: no
         per-lane indexed gathers (CLAUDE.md scalarization hazard), no
@@ -665,10 +693,10 @@ def _make_decode_device():
         p = packed.T  # (C, steps)
         idx = jnp.stack([p & 255, (p >> 8) & 255], -1).reshape(
             C, 2 * steps)[:, :chunk_symbols]
-        # canonical index -> symbol: bit-sliced truth-table lookup
+        # canonical index -> symbol: flat-select byte-LUT lookup
         # (fused elementwise, full tiles; the nibble one-hot matmul
         # measured 8x minor-dim padding bloat on device)
-        sym = _bitslice_lookup(idx, perm_tt, 8)
+        sym = _byte_lookup(idx, perm_b)
         return sym.astype(jnp.uint8)
 
     return decode_device

@@ -136,6 +136,48 @@ def test_plus_huf_api(rng):
     assert len(b1) < len(b0)  # entropy stage helps on smooth data
 
 
+def test_byte_lookup_matches_indexing(rng):
+    """_byte_lookup (flat 63-select byte LUT) == table[idx] for random
+    tables and indices."""
+    import jax.numpy as jnp
+
+    import sprintz_tpu.entropy.huffman as hf
+
+    table = rng.integers(0, 256, 256).astype(np.uint8)
+    idx = rng.integers(0, 256, (7, 333)).astype(np.int32)
+    lut = hf.pack_byte_lut(table)
+    out = np.asarray(hf._byte_lookup(jnp.asarray(idx), jnp.asarray(lut)))
+    np.testing.assert_array_equal(out, table[idx].astype(np.int32))
+
+
+@pytest.mark.parametrize("steps,nwords", [(4, 8), (64, 56), (128, 104)])
+def test_refill_windows_sound(rng, steps, nwords):
+    """_refill_windows must contain every (step, widx) a lane can
+    actually reach: simulate the kernel's refill dynamics over random
+    per-step code-length pairs (each 1..12 bits) and check containment.
+    """
+    from sprintz_tpu.entropy.pallas_huffman import _refill_windows
+
+    wins = _refill_windows(steps, nwords)
+    for _ in range(2000):
+        ls = rng.integers(1, 13, (steps, 2))
+        nbits = widx = 0
+        for s in range(steps):
+            if nbits < 24:
+                lo, hi = wins[s] if wins[s] is not None else (None, None)
+                assert lo is not None, f"refill at masked step {s}"
+                if widx < nwords:  # beyond-payload lanes read zero words
+                    assert lo <= widx <= hi, (s, widx, wins[s])
+                nbits += 32
+                widx += 1
+            nbits -= int(ls[s, 0]) + int(ls[s, 1])
+            # a real stream never runs dry mid-chunk; junk lanes keep
+            # refilling (nbits<24 forces the +32 above), so nbits >= 0
+            # holds for the trajectories the kernel sees
+            if nbits < 0:
+                break
+
+
 @pytest.mark.parametrize("cs", [8, 16])
 def test_pallas_decode_interpret(rng, cs):
     """The Pallas kernel (interpret mode on CPU) must match the scan
@@ -157,9 +199,11 @@ def test_pallas_decode_interpret(rng, cs):
         words, tables, cs2, nchunks, n = hf.device_decode_prep(comp)
         if not ph.decode_pallas_available(words.shape[1], cs2):
             pytest.skip(f"chunk count {words.shape[1]} not lane-tileable")
-        out = ph.decode_jax_pallas(words, tables, cs2, nchunks, n,
-                                   interpret=True)
-        np.testing.assert_array_equal(out, data, err_msg=f"{kind} cs={cs}")
+        for fuse in (False, True):  # split tail AND in-kernel perm
+            out = ph.decode_jax_pallas(words, tables, cs2, nchunks, n,
+                                       interpret=True, fuse_perm=fuse)
+            np.testing.assert_array_equal(
+                out, data, err_msg=f"{kind} cs={cs} fuse={fuse}")
 
 
 def test_chunk_symbols_u16_limit(rng):
