@@ -73,9 +73,14 @@ KNOBS: dict[str, Knob] = {k.name: k for k in [
        "minor dim to 32 = 4x pad).", "ops.pack.UNPACK_PAIR", None,
        "sessions 34/35: decode loses 2.4x, encode a wash"),
     _K("SPRINTZ_LOWDIM_IMPL", "einsum", "trace", "str",
-       "Lowdim unpack contraction formulation.",
-       "ops.pack.LOWDIM_IMPL", ("einsum", "e2"),
-       "session 9/11 isolation"),
+       "Lowdim (un)pack formulation: einsum (per-block one-hot MXU "
+       "dot), einsum2 (EB-major weights), select (VPU select-acc), "
+       "wselect (width-stratified static shifts), dyn (variable "
+       "shifts; 10x loser, session 13), wbank (ONE static width-bank "
+       "MXU weight shared by all blocks + per-width select).",
+       "ops.pack.LOWDIM_IMPL",
+       ("einsum", "einsum2", "select", "wselect", "dyn", "wbank"),
+       "sessions 5/9/13; wbank r4"),
     # ----------------------------------------------------------- decoder
     _K("SPRINTZ_LOWDIM_PASS", "auto", "trace", "str",
        "Fused lowdim delta decode pass: auto (grouped when 128%D==0, "

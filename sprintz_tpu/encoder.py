@@ -136,6 +136,12 @@ if _have_jax:
 
         eb = 8 * elem_sz
         n, ndims = rows.shape
+        nd0 = ndims
+        if ndims == 3:  # fold as d4: a zero 4th dim deltas/packs to
+            # width 0 and its header/payload columns are sliced off
+            rows = jnp.concatenate(
+                [rows, jnp.zeros((n, 1), rows.dtype)], axis=1)
+            ndims = 4
         nb = n // BLOCK_SZ
         row_b = ndims * elem_sz
         mask = (1 << eb) - 1
@@ -181,8 +187,8 @@ if _have_jax:
         widths_g = block_widths_lowdim(orm, elem_sz)  # (c, g*D)
         dense_g = pack_dims_lowdim(
             jnp.stack(errs, axis=1), widths_g, elem_sz)  # (c, g*D, EB)
-        dense = dense_g.reshape(c * g, ndims, 8 * elem_sz)[:nb]
-        widths = widths_g.reshape(c * g, ndims)[:nb]
+        dense = dense_g.reshape(c * g, ndims, 8 * elem_sz)[:nb, :nd0]
+        widths = widths_g.reshape(c * g, ndims)[:nb, :nd0]
         hdr = header_value(widths, eb)
         return widths, hdr, dense, widths.sum(axis=1)
 
@@ -196,11 +202,16 @@ if _have_jax:
         """
         eb = 8 * elem_sz
         if (lowdim and codec == "delta"
-                and rows.shape[1] * elem_sz in (1, 2, 4)):
-            if LOWDIM_ENCODE == "grouped" and 128 % rows.shape[1] == 0:
+                and rows.shape[1] * elem_sz in (1, 2, 3, 4)):
+            d = rows.shape[1]
+            if LOWDIM_ENCODE == "grouped" and (128 % d == 0 or d == 3):
                 return _encode_lowdim_grouped(rows, elem_sz)
             if LOWDIM_ENCODE == "dmajor":
-                return _encode_lowdim_dmajor(rows, elem_sz)
+                if d * elem_sz in (1, 2, 4):
+                    return _encode_lowdim_dmajor(rows, elem_sz)
+                # d3 u8: dim-major words need a pow2 row; use the
+                # grouped pass (d4 fold) instead of the legacy einsum
+                return _encode_lowdim_grouped(rows, elem_sz)
         rows = rows.astype(jnp.int32)  # transferred narrow, computed wide
         if codec == "delta":
             errs = delta_encode(rows, eb)
@@ -211,10 +222,11 @@ if _have_jax:
         ormask = jnp.bitwise_or.reduce(blocks, axis=1)
         if lowdim:
             widths = block_widths_lowdim(ormask, elem_sz)
-            if 128 % rows.shape[1] == 0:
+            if 128 % rows.shape[1] == 0 or rows.shape[1] == 3:
                 # group-folded pack (bit-identical, codec-agnostic):
                 # full (8, ~128) tiles instead of minor-D batches —
-                # this is the xff-lowdim fast pass (VERDICT r2 item 3)
+                # this is the xff-lowdim fast pass (VERDICT r2 item 3);
+                # d3 rides the wrapper's d4 fold
                 from .ops.pack import pack_dims_lowdim_grouped
 
                 dense = pack_dims_lowdim_grouped(blocks, widths, elem_sz)

@@ -22,6 +22,8 @@ intermediates.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -254,8 +256,116 @@ def pack_dims_lowdim(errs_zz: jnp.ndarray, widths: jnp.ndarray,
 
     if LOWDIM_IMPL == "wselect":
         return _chunked(chunk_wpack, nb, errs_zz, widths)
+    if LOWDIM_IMPL == "wbank":
+        return _chunked(
+            lambda e, w: pack_dims_lowdim_wbank(e, w, elem_sz),
+            nb, errs_zz, widths)
     return _chunked(chunk_sel if LOWDIM_IMPL == "select" else chunk,
                     nb, errs_zz, widths)
+
+
+@functools.lru_cache(maxsize=None)
+def _wbank_unpack_table(eb: int) -> np.ndarray:
+    """Static width-bank unpack weights (nw*8, EB) float32.
+
+    Row wi*8 + r computes sample r's field ASSUMING width legal[wi]:
+    lowdim sample r of a width-w dim lives at bits [r*w, r*w + w) of
+    the dim's EB-byte section, so the field equals
+    floor(sum_j bytes[j] * 2^(8j - r*w)) over the <=3 bytes the field
+    touches — power-of-two weights fold the sub-byte shift INTO the
+    matmul (the fractional bits are exactly the bits below the field
+    and truncate away in the f32 -> i32 cast; every term and the sum
+    span <= 24 bits, so bf16-operand/f32-accumulate MXU dots are
+    exact). One STATIC weight shared by every block replaces the
+    per-(block, dim, sample) one-hot tensor — the einsum formulation's
+    dominant HBM term (16 B of weights per decoded sample; STATUS.md
+    sessions 12/13 stage isolation)."""
+    legal = [0] + _lowdim_widths(eb)
+    tbl = np.zeros((len(legal) * BLOCK_SZ, eb), np.float32)
+    for wi, w in enumerate(legal):
+        for r in range(BLOCK_SZ):
+            br = r * w
+            for j in range(eb):
+                if 8 * j + 8 > br and 8 * j < br + w:
+                    tbl[wi * BLOCK_SZ + r, j] = float(2.0 ** (8 * j - br))
+    return tbl
+
+
+@functools.lru_cache(maxsize=None)
+def _wbank_pack_table(eb: int) -> np.ndarray:
+    """Static width-bank pack weights (nw*EB, planes*8) float32 — the
+    transpose of the unpack bank over byte planes: output byte j of a
+    width-w dim is floor(sum_r sample_r * 2^(r*w - 8j)) & 255 (sample
+    byte planes ride separate rows for u16 so every bf16 operand is a
+    byte). Fractional parts are bits below byte j and are bit-disjoint
+    across samples (fields never overlap), so they sum < 1 and the
+    f32 -> i32 truncation is exact."""
+    legal = [0] + _lowdim_widths(eb)
+    planes = eb // 8
+    tbl = np.zeros((len(legal) * eb, planes * BLOCK_SZ), np.float32)
+    for wi, w in enumerate(legal):
+        for j in range(eb):
+            for p in range(planes):
+                for r in range(BLOCK_SZ):
+                    br = r * w + 8 * p  # plane p holds sample bits 8p..
+                    if br + min(w, 8) > 8 * j and br < 8 * j + 8:
+                        tbl[wi * eb + j, p * BLOCK_SZ + r] = float(
+                            2.0 ** (br - 8 * j))
+    return tbl
+
+
+def unpack_dims_lowdim_wbank(dense: jnp.ndarray, widths: jnp.ndarray
+                             ) -> jnp.ndarray:
+    """Width-bank lowdim unpack (bit-identical to unpack_dims_lowdim).
+
+    dense: (c, M, EB) bytes; widths: (c, M). Returns (c, 8, M) int32.
+    ONE static-weight MXU dot computes every sample for every legal
+    width; a per-width select keeps the real one. All N-scale tensors
+    are (c, k, M) — full-lane when called on grouped M ~ 128 layouts.
+    """
+    c, m, eb = dense.shape
+    bank = jnp.asarray(_wbank_unpack_table(eb))  # (nw*8, EB)
+    d_t = dense.transpose(0, 2, 1).astype(jnp.bfloat16)  # (c, EB, M)
+    t2 = jax.lax.dot_general(
+        jnp.broadcast_to(bank.astype(jnp.bfloat16), (c,) + bank.shape),
+        d_t, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+    legal = [0] + _lowdim_widths(eb)
+    w32 = widths.astype(jnp.int32)
+    word = jnp.zeros((c, BLOCK_SZ, m), jnp.int32)
+    for wi, w in enumerate(legal):
+        if w == 0:
+            continue
+        word = jnp.where(w32[:, None, :] == w,
+                         t2[:, wi * BLOCK_SZ:(wi + 1) * BLOCK_SZ], word)
+    return word & ((1 << w32)[:, None, :] - 1)
+
+
+def pack_dims_lowdim_wbank(errs_zz: jnp.ndarray, widths: jnp.ndarray,
+                           elem_sz: int) -> jnp.ndarray:
+    """Width-bank lowdim pack (bit-identical to pack_dims_lowdim).
+
+    errs_zz: (c, 8, M) int32; widths: (c, M). Returns (c, M, EB) uint8.
+    """
+    c, _, m = errs_zz.shape
+    eb = 8 * elem_sz
+    bank = jnp.asarray(_wbank_pack_table(eb))  # (nw*EB, planes*8)
+    planes = [((errs_zz >> (8 * p)) & 0xFF).astype(jnp.bfloat16)
+              for p in range(elem_sz)]
+    e_t = jnp.concatenate(planes, axis=1)  # (c, planes*8, M)
+    t2 = jax.lax.dot_general(
+        jnp.broadcast_to(bank.astype(jnp.bfloat16), (c,) + bank.shape),
+        e_t, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+    legal = [0] + _lowdim_widths(eb)
+    w32 = widths.astype(jnp.int32)
+    out = jnp.zeros((c, eb, m), jnp.int32)
+    for wi, w in enumerate(legal):
+        if w == 0:
+            continue
+        out = jnp.where(w32[:, None, :] == w,
+                        t2[:, wi * eb:(wi + 1) * eb], out)
+    return (out & 0xFF).transpose(0, 2, 1).astype(jnp.uint8)
 
 
 def unpack_rows_rowmajor(dense: jnp.ndarray, widths: jnp.ndarray,
@@ -526,6 +636,8 @@ def unpack_dims_lowdim(dense: jnp.ndarray, widths: jnp.ndarray) -> jnp.ndarray:
         return _chunked(chunk_e2, nb, dense, widths)
     if LOWDIM_IMPL == "dyn":
         return _chunked(chunk_dyn, nb, dense, widths)
+    if LOWDIM_IMPL == "wbank":
+        return _chunked(unpack_dims_lowdim_wbank, nb, dense, widths)
     return _chunked(chunk_sel if LOWDIM_IMPL == "select" else chunk,
                     nb, dense, widths)
 
@@ -546,6 +658,16 @@ def unpack_dims_lowdim_grouped(dense: jnp.ndarray, widths: jnp.ndarray,
     dense: (nb, D, EB) bytes; widths: (nb, D). Returns (nb, 8, D) int32.
     """
     nb, ndims, eb = dense.shape
+    nd0 = ndims
+    if ndims == 3:
+        # 3 does not divide 128: fold as d4 with a zero-width 4th dim
+        # (independent per-dim sections make the pad free; every view
+        # stays minor-4 instead of the pathological minor-3)
+        dense = jnp.concatenate(
+            [dense, jnp.zeros((nb, 1, eb), dense.dtype)], axis=1)
+        widths = jnp.concatenate(
+            [widths, jnp.zeros((nb, 1), widths.dtype)], axis=1)
+        ndims = 4
     g = group or lowdim_group(ndims)
     pad = (-nb) % g
     if pad:
@@ -557,7 +679,7 @@ def unpack_dims_lowdim_grouped(dense: jnp.ndarray, widths: jnp.ndarray,
     errs = unpack_dims_lowdim(dense.reshape(c, g * ndims, eb),
                               widths.reshape(c, g * ndims))  # (c, 8, G*D)
     errs = errs.reshape(c, BLOCK_SZ, g, ndims).swapaxes(1, 2)
-    return errs.reshape(c * g, BLOCK_SZ, ndims)[:nb]
+    return errs.reshape(c * g, BLOCK_SZ, ndims)[:nb, :, :nd0]
 
 
 def pack_dims_lowdim_grouped(errs_zz: jnp.ndarray, widths: jnp.ndarray,
@@ -567,6 +689,14 @@ def pack_dims_lowdim_grouped(errs_zz: jnp.ndarray, widths: jnp.ndarray,
     errs_zz: (nb, 8, D) int32; widths: (nb, D). Returns (nb, D, EB) u8.
     """
     nb, _, ndims = errs_zz.shape
+    nd0 = ndims
+    if ndims == 3:  # fold as d4 (see unpack_dims_lowdim_grouped)
+        errs_zz = jnp.concatenate(
+            [errs_zz, jnp.zeros((nb, BLOCK_SZ, 1), errs_zz.dtype)],
+            axis=2)
+        widths = jnp.concatenate(
+            [widths, jnp.zeros((nb, 1), widths.dtype)], axis=1)
+        ndims = 4
     g = group or lowdim_group(ndims)
     pad = (-nb) % g
     if pad:
@@ -578,7 +708,7 @@ def pack_dims_lowdim_grouped(errs_zz: jnp.ndarray, widths: jnp.ndarray,
     eg = errs_zz.reshape(c, g, BLOCK_SZ, ndims).swapaxes(1, 2)
     dense = pack_dims_lowdim(eg.reshape(c, BLOCK_SZ, g * ndims),
                              widths.reshape(c, g * ndims), elem_sz)
-    return dense.reshape(c * g, ndims, 8 * elem_sz)[:nb]
+    return dense.reshape(c * g, ndims, 8 * elem_sz)[:nb, :nd0]
 
 
 def unpack_dims_lowdim_dmajor(dense: jnp.ndarray, widths: jnp.ndarray

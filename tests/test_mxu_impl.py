@@ -106,7 +106,8 @@ def test_s8_full_stream_roundtrip(rng):
         jax.clear_caches()
 
 
-@pytest.fixture(params=["select", "einsum", "wselect", "einsum2", "dyn"])
+@pytest.fixture(params=["select", "einsum", "wselect", "einsum2", "dyn",
+                        "wbank"])
 def lowdim_impl(request):
     prev = pack.LOWDIM_IMPL
     pack.LOWDIM_IMPL = request.param
@@ -312,8 +313,8 @@ def test_grouped_decode_pass_identical(rng, ndims, elem_sz):
         jax.clear_caches()
 
 
-@pytest.mark.parametrize("ndims,elem_sz", [(1, 1), (2, 1), (4, 1), (1, 2),
-                                           (2, 2)])
+@pytest.mark.parametrize("ndims,elem_sz", [(1, 1), (2, 1), (3, 1), (4, 1),
+                                           (1, 2), (2, 2)])
 def test_grouped_scatter_runs_identical(rng, ndims, elem_sz):
     """The grouped flat-scatter runs path must decode RLE-heavy lowdim
     streams identically to the legacy row scatter."""
@@ -362,7 +363,7 @@ def test_runs_timeline_gather_identical(rng, ndims, elem_sz, lowdim, codec):
     try:
         outs = {}
         names = (("scatter", "gather") if lowdim
-                 else ("scatter", "gather", "dgather"))
+                 else ("scatter", "gather", "dgather", "ngather"))
         for name in names:
             decoder.RUNS_TIMELINE = name
             jax.clear_caches()
@@ -371,13 +372,15 @@ def test_runs_timeline_gather_identical(rng, ndims, elem_sz, lowdim, codec):
         np.testing.assert_array_equal(outs["gather"], x)
         if "dgather" in outs:
             np.testing.assert_array_equal(outs["dgather"], x)
+        if "ngather" in outs:
+            np.testing.assert_array_equal(outs["ngather"], x)
     finally:
         decoder.RUNS_TIMELINE = prev
         jax.clear_caches()
 
 
-@pytest.mark.parametrize("ndims,elem_sz", [(1, 1), (2, 1), (4, 1), (1, 2),
-                                           (2, 2)])
+@pytest.mark.parametrize("ndims,elem_sz", [(1, 1), (2, 1), (3, 1), (4, 1),
+                                           (1, 2), (2, 2)])
 def test_grouped_encode_identical(rng, ndims, elem_sz):
     """The grouped lowdim encode pass must emit byte-identical streams
     to the legacy and dmajor formulations (runs + data mix)."""
