@@ -462,6 +462,26 @@ def main():
         extra_notes.append(
             f"huff-enc kernel (cs={cs}): {nsym / t3 / 1e9:.2f} GB/s")
 
+    def extra_xff_batch(budget_s):
+        """Batched multi-stream FIRE encode — the compress_batch
+        operating point (VERDICT r3 item 10): S streams ride the vmap
+        batch so the serial FIRE scan runs S*D lanes wide, the axis the
+        framework's throughput design claims (SURVEY §5). Reference row:
+        FIRE encode transform 5 GB/s single-thread AVX2
+        (communicate/results.tex:186-193)."""
+        if time.perf_counter() - t_start > budget_s:
+            return
+        S, nr = 64, 2048  # 64 streams x 128 KiB = 8 MiB aggregate
+        raws = (np.cumsum(rng.integers(-6, 7, (S, nr, ndims)), axis=1)
+                % 256).astype(np.uint8)
+        rows_j = jnp.asarray(raws.astype(np.int32))
+        batched = jax.vmap(
+            lambda r: encoder._encode_pass.__wrapped__(r, "xff", 1, False))
+        t2 = devloop_time(batched, (rows_j,), 8)
+        extra_notes.append(
+            f"xff-batch encode kernel (S={S}): "
+            f"{raws.nbytes / t2 / 1e9:.2f} GB/s")
+
     if os.environ.get("SPRINTZ_BENCH_EXTRAS", "1") != "0":
         extra_config("delta", 2, budget_s=300)
         extra_config("xff", 1, budget_s=420)
@@ -470,6 +490,7 @@ def main():
         extra_lowdim(budget_s=780)
         extra_runs(budget_s=900)
         extra_huffman(budget_s=1020)
+        extra_xff_batch(budget_s=1140)
     fire_note = "".join(n + " | " for n in extra_notes)
     if os.environ.get("SPRINTZ_BENCH_FIRE"):
         # context: FIRE decode throughput when streams batch in lanes

@@ -554,7 +554,10 @@ extern "C" int64_t sprintz_assemble_stream(
     const uint8_t* dense,    // (nb, 8, maxb) rowmajor | (nb, ndims, maxb) lowdim
     int64_t maxb, int32_t ndims, int32_t elem_sz, int32_t lowdim,
     const uint8_t* tail, int64_t tail_nbytes,
-    uint8_t* out, int64_t out_cap) {
+    uint8_t* out, int64_t out_cap,
+    const int32_t* wsums) {  // optional (nb,) per-block width sums:
+                             // the device encode pass already computed
+                             // them; skips the O(nslots*ndims) resum
   const int hdr_bits = elem_sz == 1 ? 3 : 4;
   const int64_t total_header_bytes =
       ((int64_t)ndims * hdr_bits * kGroupSzBlocks + 7) / 8;
@@ -576,9 +579,14 @@ extern "C" int64_t sprintz_assemble_stream(
   for (int64_t s = 0; s < nslots; s++) {
     const int8_t kind = kinds[s];
     if (kind == kKindData) {
-      const int32_t* w = widths + (int64_t)values[s] * ndims;
-      int64_t wsum = 0;
-      for (int d = 0; d < ndims; d++) wsum += w[d];
+      int64_t wsum;
+      if (wsums) {
+        wsum = wsums[values[s]];
+      } else {
+        const int32_t* w = widths + (int64_t)values[s] * ndims;
+        wsum = 0;
+        for (int d = 0; d < ndims; d++) wsum += w[d];
+      }
       slot_size[s] = lowdim ? wsum : (int64_t)kBlockSz * ((wsum + 7) / 8);
     } else if (kind == kKindRun) {
       slot_size[s] = values[s] > 0x7f ? 2 : 1;
@@ -599,6 +607,11 @@ extern "C" int64_t sprintz_assemble_stream(
 
   // ---- pass 2: emit groups into their disjoint ranges
   auto emit_groups = [&](int64_t g0, int64_t g1) {
+    // Rows may be emitted with fixed-size 16-byte stores (compiled to
+    // two 8-byte movs) when the whole block plus the overhang stays
+    // inside THIS thread's disjoint [group_off[g0], group_off[g1])
+    // range — the slack is overwritten by the next sequential write.
+    const int64_t region_end = group_off[g1];
     for (int64_t g = g0; g < g1; g++) {
       // header region: streaming LSB-first bit writer (word-at-a-time
       // flush) — run slots contribute ndims zero fields
@@ -659,9 +672,25 @@ extern "C" int64_t sprintz_assemble_stream(
           } else {
             const int64_t rb = slot_size[s] / kBlockSz;
             const uint8_t* src = dense + b * kBlockSz * maxb;
-            for (int r = 0; r < kBlockSz; r++) {
-              memcpy(out + p, src + (int64_t)r * maxb, rb);
-              p += rb;
+            // fixed-size reads of K bytes from a row start stay inside
+            // dense iff K <= maxb (the next row begins there)
+            if (rb <= 16 && maxb >= 16
+                && p + kBlockSz * rb + 16 <= region_end) {
+              for (int r = 0; r < kBlockSz; r++) {
+                memcpy(out + p, src + (int64_t)r * maxb, 16);
+                p += rb;
+              }
+            } else if (rb <= 48 && maxb >= 48
+                       && p + kBlockSz * rb + 48 <= region_end) {
+              for (int r = 0; r < kBlockSz; r++) {
+                memcpy(out + p, src + (int64_t)r * maxb, 48);
+                p += rb;
+              }
+            } else {
+              for (int r = 0; r < kBlockSz; r++) {
+                memcpy(out + p, src + (int64_t)r * maxb, rb);
+                p += rb;
+              }
             }
           }
         } else if (kind == kKindRun) {

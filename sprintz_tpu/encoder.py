@@ -287,7 +287,8 @@ def compress(
     plan = build_plan(zero_flags, n, ndims, run_cmp_allows_equal)
     stream = assemble_stream(
         plan, widths_np, hdr_np, dense_np, ndims, elem_sz, lowdim,
-        flat[n - plan.remaining_elems:])
+        flat[n - plan.remaining_elems:],
+        wsums=np.asarray(width_sums, dtype=np.int32))
     return stream
 
 
@@ -339,12 +340,13 @@ def compress_batch(
                           run_cmp_allows_equal)
         out.append(assemble_stream(
             plan, widths_np[s], hdr_np[s], dense_np[s], ndims, elem_sz,
-            lowdim, streams[s].reshape(-1)[n - plan.remaining_elems:]))
+            lowdim, streams[s].reshape(-1)[n - plan.remaining_elems:],
+            wsums=np.asarray(width_sums[s], dtype=np.int32)))
     return out
 
 
 def assemble_stream(plan, widths_np, hdr_np, dense_np, ndims, elem_sz,
-                    lowdim, tail: np.ndarray) -> bytes:
+                    lowdim, tail: np.ndarray, wsums=None) -> bytes:
     """Final stream assembly.
 
     Prefers the native C++ assembler (native/sprintz_host.cpp); the numpy
@@ -357,7 +359,7 @@ def assemble_stream(plan, widths_np, hdr_np, dense_np, ndims, elem_sz,
     native = assemble_stream_native(
         plan.kinds, plan.values, plan.ngroups, plan.remaining_elems,
         widths_np, hdr_np, dense_np, ndims, elem_sz, lowdim,
-        tail.tobytes())
+        tail.tobytes(), wsums=wsums)
     if native is not None:
         return native
     return _assemble_stream_np(

@@ -143,7 +143,7 @@ def mp_compress(local_flat: np.ndarray, total_len: int, ndims: int,
     from ..constants import BLOCK_SZ, MIN_DATA_SIZE
     from ..golden.stream import write_metadata_rle
     from ..planner import build_plan
-    from .shard import _gather, shard_map_encode
+    from .shard import _gather, gather_dense_compact, shard_map_encode
 
     mesh = mesh or global_mesh()
     n_dev = mesh.devices.size
@@ -175,9 +175,14 @@ def mp_compress(local_flat: np.ndarray, total_len: int, ndims: int,
 
     dense, widths, hdr, sizes, offsets = shard_map_encode(
         mesh, elem_sz, codec)(rows)
-    widths_np = _gather(widths)
-    hdr_np = _gather(hdr).astype(np.uint8)
-    dense_np = _gather(dense)
+    # widths derive from the 1-byte headers; the payload rides the
+    # bucketed compact gather — cross-process traffic ~ stream size
+    import jax.numpy as jnp
+    hdr_np = _gather(hdr.astype(jnp.uint8))
+    eb = 8 * elem_sz
+    widths_np = hdr_np.astype(np.int32)
+    widths_np[widths_np == eb - 1] = eb
+    dense_np = gather_dense_compact(dense, widths_np, elem_sz)
     zero_flags = (widths_np.sum(axis=1) == 0)[:nb_max]
 
     plan = build_plan(zero_flags, n, ndims, codec == "xff")

@@ -437,6 +437,46 @@ def dp_decompress(mesh: Mesh, buf: bytes, codec: str = "delta",
     return np.concatenate([body.reshape(-1), tail])
 
 
+
+@functools.lru_cache(maxsize=None)
+def _compact_take_cached(bucket: int):
+    return jax.jit(lambda d, i: d[i, :, :bucket].astype(jnp.uint8))
+
+
+def gather_dense_compact(dense, widths_np: np.ndarray,
+                         elem_sz: int) -> np.ndarray:
+    """Gather a sharded (nb, 8, MAXB) payload tensor moving ~compressed
+    bytes instead of the dense uncompressed-sized tensor (SURVEY §2.10 /
+    VERDICT r3 item 6).
+
+    Blocks are bucketed by payload row bytes rb = ceil(sum(widths)/8)
+    rounded to multiples of 8 (<= MAXB/8 buckets, jit-reused pow2 index
+    shapes); each bucket is sliced to its width ON DEVICE (major-axis
+    take + static lane slice — the fast gather shape) so the
+    device->host (or cross-process) hop carries <= rb+8 bytes per packed
+    row. Zero-width blocks (runs) move nothing. The host reassembles
+    the (nb, 8, MAXB) layout for the stream assembler with bucket-sized
+    numpy copies.
+    """
+    from ..utils.shapes import next_bucket
+
+    nb, bsz, maxb = dense.shape
+    rb = (widths_np.sum(axis=1, dtype=np.int64) + 7) // 8
+    rbb = np.minimum((rb + 7) // 8 * 8, maxb)
+    dense_np = np.zeros((nb, bsz, maxb), np.uint8)
+    for bucket in np.unique(rbb):
+        if bucket == 0:
+            continue
+        idx = np.nonzero(rbb == bucket)[0]
+        npad = next_bucket(len(idx))
+        idxp = np.zeros(npad, np.int32)
+        idxp[: len(idx)] = idx
+        part = _gather(_compact_take_cached(int(bucket))(
+            dense, jnp.asarray(idxp)))
+        dense_np[idx, :, :bucket] = part[: len(idx)]
+    return dense_np
+
+
 # --------------------------------------------------------------- full step
 
 
@@ -475,9 +515,15 @@ def dp_compress(mesh: Mesh, flat: np.ndarray, ndims: int,
 
     dense, widths, hdr, sizes, offsets = dp_encode(
         mesh, rows, elem_sz, codec)
-    widths_np = _gather(widths)
-    hdr_np = _gather(hdr).astype(np.uint8)
-    dense_np = _gather(dense)
+    # headers are 1 byte/dim and widths derive from them (value eb-1
+    # stores width eb), so the only wide gather left is the bucketed
+    # compact payload — host traffic ~ compressed stream size, not the
+    # dense uncompressed-sized tensor (VERDICT r3 item 6)
+    hdr_np = _gather(hdr.astype(jnp.uint8))
+    eb = 8 * elem_sz
+    widths_np = hdr_np.astype(np.int32)
+    widths_np[widths_np == eb - 1] = eb
+    dense_np = gather_dense_compact(dense, widths_np, elem_sz)
     zero_flags = np.asarray(widths_np.sum(axis=1) == 0)[:nb_max]
 
     plan = build_plan(zero_flags, n, ndims, codec == "xff")
