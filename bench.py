@@ -414,7 +414,8 @@ def main():
 
         cs = int(os.environ.get("SPRINTZ_BENCH_HUFF_CHUNK", "128"))
         payload = np.frombuffer(stream, np.uint8)
-        comp = hf.huff_compress(payload, chunk_symbols=cs)
+        comp = hf.huff_compress(payload, chunk_symbols=cs,
+                                allow_stored=False)
         words, tables, _, nchunks, nsym = hf.device_decode_prep(comp)
         tj = [jnp.asarray(x) for x in tables]
         wj = jnp.asarray(words)

@@ -205,6 +205,12 @@ KNOBS: dict[str, Knob] = {k.name: k for k in [
     _K("SPRINTZ_FUZZ_CASES", "6", "import", "int",
        "Differential fuzz cases per config.", "tests.test_differential",
        None, ""),
+    _K("SPRINTZ_SESSION_SMOKE", "", "call", "flag",
+       "tools/tpu_session*: run the session script on CPU with tiny "
+       "shapes (CI smoke).", "tools.tpu_session*", None, ""),
+    _K("SPRINTZ_SESSION_SEC", None, "call", "str",
+       "tools/tpu_session37+: comma list of sections to run.",
+       "tools.tpu_session37", None, ""),
     _K("SPRINTZ_PROFILE_CPU", "", "call", "flag",
        "tools/profile_*: profile on CPU instead of the device.",
        "tools.profile_encode", None, ""),

@@ -271,7 +271,8 @@ def _stored_stream(arr: np.ndarray, chunk_symbols: int) -> bytes:
 def huff_compress(data: np.ndarray | bytes,
                   chunk_symbols: int | None = None,
                   table: HuffmanTable | None = None,
-                  backend: str = "native") -> bytes:
+                  backend: str = "native",
+                  allow_stored: bool = True) -> bytes:
     """Chunked canonical Huffman encode.
 
     backend "native" (default): the C++ emission loop (hundreds of
@@ -284,7 +285,9 @@ def huff_compress(data: np.ndarray | bytes,
     chunk_symbols None = size-aware auto (auto_chunk_symbols). Whenever
     the coded stream would be no smaller than raw + 12 bytes the stream
     is STORED instead, so +Huf never loses more than 12 bytes to plain
-    sprintz."""
+    sprintz. allow_stored=False forces a coded container (benchmarks /
+    A-B harnesses that feed device_decode_prep, which decodes coded
+    containers only)."""
     from ..native_host import huff_encode_native
 
     arr0 = np.frombuffer(data, dtype=np.uint8) if isinstance(
@@ -298,7 +301,8 @@ def huff_compress(data: np.ndarray | bytes,
         out = huff_compress_device(data, chunk_symbols, table)
     else:
         out = _huff_compress_host(arr0, chunk_symbols, table)
-    if arr0.size and len(out) >= arr0.size + _STORED_HEAD_LEN:
+    if (allow_stored and arr0.size
+            and len(out) >= arr0.size + _STORED_HEAD_LEN):
         return _stored_stream(arr0, chunk_symbols)
     return out
 
@@ -504,6 +508,10 @@ def device_decode_prep(buf: bytes):
     from ..utils.shapes import next_bucket
 
     data = np.frombuffer(buf, dtype=np.uint8)
+    if int(np.frombuffer(buf, np.uint16, 1, offset=6)[0]) & _FLAG_STORED:
+        raise ValueError("stored huff container has no device decode; "
+                         "read it with huff_decompress "
+                         "(or encode with allow_stored=False)")
     n, chunk_symbols, nchunks, t, sizes, offsets = _parse(buf)
     maxb = int(sizes.max()) if nchunks else 0
     # u32 words, one spare so the refill select never matches past the end

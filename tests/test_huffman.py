@@ -49,7 +49,7 @@ def test_huffman_chunk_sizes_all_backends(rng, cs):
     region of the final partial chunk."""
     for kind in ("rand", "small", "sparse"):
         data = make_stream(rng, 10_007, 1, kind)
-        comp = huff_compress(data, chunk_symbols=cs)
+        comp = huff_compress(data, chunk_symbols=cs, allow_stored=False)
         for backend in ("native", "numpy", "jax"):
             np.testing.assert_array_equal(
                 huff_decompress(comp, backend=backend), data,
@@ -195,7 +195,7 @@ def test_pallas_decode_interpret(rng, cs):
 
     for kind in ("rand", "small", "sparse"):
         data = make_stream(rng, cs * 1023 + cs // 2 + 1, 1, kind)
-        comp = huff_compress(data, chunk_symbols=cs)
+        comp = huff_compress(data, chunk_symbols=cs, allow_stored=False)
         words, tables, cs2, nchunks, n = hf.device_decode_prep(comp)
         if not ph.decode_pallas_available(words.shape[1], cs2):
             pytest.skip(f"chunk count {words.shape[1]} not lane-tileable")
