@@ -75,14 +75,24 @@ def _lowdim_widths(eb: int):
 
 
 def _chunked(fn, n_leading: int, *arrays):
-    """Apply fn over chunks of the leading axis and concatenate."""
+    """Apply fn over chunks of the leading axis and concatenate.
+
+    The rowmajor callers pass bucketed (power-of-two) leading dims, but
+    the grouped lowdim passes produce c = ceil(nb/G) which is chunk-
+    aligned only by luck — pad with zero rows (width 0 packs/unpacks to
+    zeros) and slice back."""
     if n_leading <= _CHUNK:
         return fn(*arrays)
-    assert n_leading % _CHUNK == 0, "bucketed shapes are powers of two"
-    nchunks = n_leading // _CHUNK
+    pad = (-n_leading) % _CHUNK
+    if pad:
+        arrays = tuple(
+            jnp.concatenate(
+                [a, jnp.zeros((pad, *a.shape[1:]), a.dtype)]) for a in arrays)
+    nchunks = (n_leading + pad) // _CHUNK
     reshaped = [a.reshape(nchunks, _CHUNK, *a.shape[1:]) for a in arrays]
     out = jax.lax.map(lambda args: fn(*args), tuple(reshaped))
-    return out.reshape(nchunks * _CHUNK, *out.shape[2:])
+    out = out.reshape(nchunks * _CHUNK, *out.shape[2:])
+    return out[:n_leading] if pad else out
 
 
 def _matmul_exact(a_bytes: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
