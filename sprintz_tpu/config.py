@@ -88,6 +88,17 @@ KNOBS: dict[str, Knob] = {k.name: k for k in [
        "path too), dmajor, legacy.", "decoder.LOWDIM_PASS",
        ("auto", "grouped", "dmajor", "legacy"),
        "sessions 12/13: grouped wins decode 1.2-1.4x"),
+    _K("SPRINTZ_GROUPED_FINISH", "v1", "trace", "str",
+       "Grouped lowdim prefix finish: v1 (offset add in (c,8,g,D) "
+       "minor-D layout) or v2 (full-lane (c,8,g*D) add; g-axis offset "
+       "prefix = log2(g) static lane shifts).",
+       "decoder.GROUPED_FINISH", ("v1", "v2"), "session 38 A/B"),
+    _K("SPRINTZ_LOWDIM_D3", "fold4", "trace", "str",
+       "d3 grouped decode fold: fold4 (zero-width 4th dim, d4 pass) "
+       "or native (g=42 fold, 126/128 lanes, no fake dim; decode "
+       "only — encode always folds as d4).",
+       "decoder/ops.pack.LOWDIM_D3", ("fold4", "native"),
+       "session 38 A/B"),
     _K("SPRINTZ_LOWDIM_DMAJOR", "1", "trace", "flag",
        "Dim-major lowdim passes available (encoder pass choice and "
        "decoder dmajor path).", "decoder/encoder.LOWDIM_DMAJOR", None,

@@ -98,6 +98,20 @@ ROWMAJOR_FOLD = config.get("SPRINTZ_ROWMAJOR_FOLD") == "1"
 # variants, up to 1.6x smaller weights). Device A/B: session 21.
 MAXB_BUCKET = config.get("SPRINTZ_MAXB_BUCKET")
 
+# Grouped prefix finish formulation: "v1" adds the group offsets in
+# (c, 8, g, D) layout — an N-scale minor-D tensor that pays the
+# session-11 lane-padding cliff (~32x at D=4) for the add+mask; "v2"
+# keeps the N-scale add+mask in the full-lane (c, 8, g*D) layout (the
+# g-axis offset prefix becomes log2(g) static lane shifts) and only the
+# final narrow-u8 output reorder touches a minor-D shape.
+GROUPED_FINISH = config.get("SPRINTZ_GROUPED_FINISH")
+
+# d3 grouped decode fold: "fold4" appends a zero-width 4th dim and
+# runs the d4 pass (g=32, 25% wasted lanes+work); "native" folds g=42
+# blocks directly (g*D = 126 of 128 lanes, no fake dim). Encode always
+# folds as d4 (its row<->u32 word bitcast needs row_b in {1,2,4}).
+LOWDIM_D3 = config.get("SPRINTZ_LOWDIM_D3")
+
 
 def _lowdim_pass(codec: str, ndims: int, elem_sz: int) -> str:
     """Which fused lowdim delta pass applies (falls back to legacy)."""
@@ -190,7 +204,33 @@ if _have_jax:
         eb = 8 * elem_sz
         c, _, gd = deltas.shape
         g = gd // ndims
+        mask = (1 << eb) - 1
+        narrow = jnp.uint8 if elem_sz == 1 else jnp.uint16
         intra = jnp.cumsum(deltas, axis=1)  # 8 static adds
+        if GROUPED_FINISH == "v2":
+            # full-lane finish: every N-scale op stays (c, 8, g*D)
+            bs = intra[:, -1]  # (c, g*D) inclusive block sums
+            # inclusive prefix over the g axis (stride-D lanes):
+            # log2(g) static lane shifts (Hillis-Steele), exact int32
+            incl = bs
+            sh = 1
+            while sh < g:
+                s = sh * ndims
+                incl = incl + jnp.pad(incl, ((0, 0), (s, 0)))[:, :-s]
+                sh <<= 1
+            offs_lane = incl - bs  # exclusive over g, per dim lane
+            chunk_tot = incl[:, (g - 1) * ndims:]  # (c, D) per-chunk sum
+            offs_c = jnp.cumsum(chunk_tot, axis=0) - chunk_tot  # (c, D)
+            if state is not None:
+                offs_c = offs_c + state[None, :]
+            offs_full = offs_lane + jnp.tile(offs_c, (1, g))  # (c, g*D)
+            vals = (intra + offs_full[:, None, :]) & mask  # full-lane
+            lb_g = last_block % g
+            last = jax.lax.dynamic_slice(
+                vals[last_block // g, BLOCK_SZ - 1],
+                (lb_g * ndims,), (ndims,))
+            out = vals.astype(narrow).reshape(c, BLOCK_SZ, g, ndims)
+            return out.swapaxes(1, 2).reshape(-1, ndims), last
         bs = intra[:, -1].reshape(c, g, ndims)  # block sums
         offs_g = jnp.cumsum(bs, axis=1)  # inclusive over g
         chunk_tot = offs_g[:, -1]  # (c, D)
@@ -198,10 +238,9 @@ if _have_jax:
         offs = (offs_g - bs) + offs_c[:, None]  # (c, g, D) exclusive
         if state is not None:
             offs = offs + state[None, None, :]
-        mask = (1 << eb) - 1
         vals = (intra.reshape(c, BLOCK_SZ, g, ndims) + offs[:, None]) & mask
         last = vals[last_block // g, BLOCK_SZ - 1, last_block % g]  # (D,)
-        out = vals.astype(jnp.uint8 if elem_sz == 1 else jnp.uint16)
+        out = vals.astype(narrow)
         return out.swapaxes(1, 2).reshape(-1, ndims), last
 
     def _decode_lowdim_grouped(dense, widths, elem_sz, state=None):
@@ -221,8 +260,10 @@ if _have_jax:
         eb = 8 * elem_sz
         nb, ndims, ebytes = dense.shape
         nd0 = ndims
-        if ndims == 3:  # 3 does not divide 128: fold as d4 with a
-            # zero-width 4th dim (zero deltas -> the prefix carries 0)
+        if ndims == 3 and LOWDIM_D3 != "native":
+            # 3 does not divide 128: fold as d4 with a zero-width 4th
+            # dim (zero deltas -> the prefix carries 0). "native" skips
+            # the fake dim and folds g=42 blocks (126 of 128 lanes).
             dense = jnp.concatenate(
                 [dense, jnp.zeros((nb, 1, ebytes), dense.dtype)], axis=1)
             widths = jnp.concatenate(
@@ -267,7 +308,8 @@ if _have_jax:
         mask = (1 << eb) - 1
         nb, ndims, ebytes = dense.shape
         nd0 = ndims
-        if ndims == 3:  # fold as d4 (see _decode_lowdim_grouped)
+        if ndims == 3 and LOWDIM_D3 != "native":
+            # fold as d4 (see _decode_lowdim_grouped)
             dense = jnp.concatenate(
                 [dense, jnp.zeros((nb, 1, ebytes), dense.dtype)], axis=1)
             widths = jnp.concatenate(
@@ -960,7 +1002,9 @@ def gather_payloads(buf: bytes, idx: StreamIndex, ndims: int, elem_sz: int,
             if MAXB_BUCKET == "mult8":
                 bucket = max((rb_max + 7) // 8 * 8, 8)
             else:
-                bucket = next_bucket(max(rb_max, 1), minimum=8)
+                # maxb is a MINOR dim in the unpack weights: pow2 only
+                # (session 21: maxb=48 loses to 64)
+                bucket = next_bucket(max(rb_max, 1), minimum=8, pow2=True)
             maxb = min(maxb, bucket)
         dense = np.empty((ndata, BLOCK_SZ, maxb), dtype=np.uint8)
         if ndata == 0:

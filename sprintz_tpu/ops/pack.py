@@ -67,6 +67,10 @@ MXU_IMPL = config.get("SPRINTZ_MXU_IMPL")
 # select per width — ~6x fewer element-ops than either other path.
 LOWDIM_IMPL = config.get("SPRINTZ_LOWDIM_IMPL")
 
+# d3 grouped fold (see decoder.LOWDIM_D3 — both modules read the same
+# knob so the (un)pack twins agree with the fused passes).
+LOWDIM_D3 = config.get("SPRINTZ_LOWDIM_D3")
+
 
 def _lowdim_widths(eb: int):
     """Non-zero legal lowdim widths: 1..eb minus eb-1 (bitmath
@@ -669,10 +673,11 @@ def unpack_dims_lowdim_grouped(dense: jnp.ndarray, widths: jnp.ndarray,
     """
     nb, ndims, eb = dense.shape
     nd0 = ndims
-    if ndims == 3:
+    if ndims == 3 and LOWDIM_D3 != "native":
         # 3 does not divide 128: fold as d4 with a zero-width 4th dim
         # (independent per-dim sections make the pad free; every view
-        # stays minor-4 instead of the pathological minor-3)
+        # stays minor-4 instead of the pathological minor-3).
+        # "native" folds g=42 real d3 blocks (126 of 128 lanes).
         dense = jnp.concatenate(
             [dense, jnp.zeros((nb, 1, eb), dense.dtype)], axis=1)
         widths = jnp.concatenate(
@@ -700,7 +705,8 @@ def pack_dims_lowdim_grouped(errs_zz: jnp.ndarray, widths: jnp.ndarray,
     """
     nb, _, ndims = errs_zz.shape
     nd0 = ndims
-    if ndims == 3:  # fold as d4 (see unpack_dims_lowdim_grouped)
+    if ndims == 3 and LOWDIM_D3 != "native":
+        # fold as d4 (see unpack_dims_lowdim_grouped)
         errs_zz = jnp.concatenate(
             [errs_zz, jnp.zeros((nb, BLOCK_SZ, 1), errs_zz.dtype)],
             axis=2)
