@@ -79,23 +79,28 @@ def _lowdim_widths(eb: int):
 
 
 def _chunked(fn, n_leading: int, *arrays):
-    """Apply fn over chunks of the leading axis and concatenate.
+    """Apply fn over equal chunks of the leading axis and concatenate.
 
-    The rowmajor callers pass bucketed (power-of-two) leading dims, but
-    the grouped lowdim passes produce c = ceil(nb/G) which is chunk-
-    aligned only by luck — pad with zero rows (width 0 packs/unpacks to
-    zeros) and slice back."""
+    Chunking bounds the transient one-hot weight tensors to ~_CHUNK
+    blocks. The chunk size adapts to n_leading (ceil(n/ceil(n/_CHUNK)),
+    rounded to a multiple of 8) so ragged inputs pad by at most
+    nchunks*8 rows instead of up to a whole chunk — the grouped lowdim
+    passes produce c = ceil(nb/G), which is never chunk-aligned for
+    non-pow2 streams. Zero pad rows (width 0) pack/unpack to zeros and
+    are sliced back off."""
     if n_leading <= _CHUNK:
         return fn(*arrays)
-    pad = (-n_leading) % _CHUNK
+    nchunks = -(-n_leading // _CHUNK)
+    chunk = -(-n_leading // nchunks)
+    chunk += (-chunk) % 8
+    pad = nchunks * chunk - n_leading
     if pad:
         arrays = tuple(
             jnp.concatenate(
                 [a, jnp.zeros((pad, *a.shape[1:]), a.dtype)]) for a in arrays)
-    nchunks = (n_leading + pad) // _CHUNK
-    reshaped = [a.reshape(nchunks, _CHUNK, *a.shape[1:]) for a in arrays]
+    reshaped = [a.reshape(nchunks, chunk, *a.shape[1:]) for a in arrays]
     out = jax.lax.map(lambda args: fn(*args), tuple(reshaped))
-    out = out.reshape(nchunks * _CHUNK, *out.shape[2:])
+    out = out.reshape(nchunks * chunk, *out.shape[2:])
     return out[:n_leading] if pad else out
 
 
