@@ -472,7 +472,10 @@ def main():
         (communicate/results.tex:186-193)."""
         if time.perf_counter() - t_start > budget_s:
             return
-        S, nr = 64, 2048  # 64 streams x 128 KiB = 8 MiB aggregate
+        # 512 streams x 16 KiB = 8 MiB aggregate: short per-stream scans
+        # (32 steps) at 32k lanes — session-38 S sweep: S=64 4.6,
+        # S=128 15.6, S=512 27.0 GB/s (the scan length dominates)
+        S, nr = 512, 256
         raws = (np.cumsum(rng.integers(-6, 7, (S, nr, ndims)), axis=1)
                 % 256).astype(np.uint8)
         rows_j = jnp.asarray(raws.astype(np.int32))

@@ -121,8 +121,10 @@ def _lowdim_pass(codec: str, ndims: int, elem_sz: int) -> str:
         return "grouped"
     if LOWDIM_PASS == "dmajor" and ndims * elem_sz in (1, 2, 4):
         return "dmajor"
-    if LOWDIM_PASS == "auto" and (128 % ndims == 0 or ndims == 3):
-        return "grouped"  # d3 folds as d4 with a zero-width 4th dim
+    if LOWDIM_PASS == "auto" and 128 % ndims == 0:
+        return "grouped"  # d3 stays legacy: every grouped variant
+        # (fold4/native x finish v1/v2) measured 1.17 vs legacy 1.70
+        # GB/s with fine buckets (session 38)
     return "legacy"
 
 
@@ -131,8 +133,9 @@ def _grouped_unpack_ok(ndims: int) -> bool:
     it only reshapes the einsum batch to full (8, ~128) tiles)? Applies
     to xff too — the delta-only gate above is about the fused PREFIX, not
     the unpack (VERDICT r2 item 3)."""
-    return (LOWDIM_PASS in ("auto", "grouped")
-            and (128 % ndims == 0 or ndims == 3))
+    if LOWDIM_PASS == "grouped":  # explicit force allows the d3 folds
+        return 128 % ndims == 0 or ndims == 3
+    return LOWDIM_PASS == "auto" and 128 % ndims == 0
 
 
 def _dmajor_ok(codec: str, ndims: int, elem_sz: int) -> bool:
@@ -554,9 +557,11 @@ if _have_jax:
                 dense, widths, out_block_rows, elem_sz, total_rows,
                 state=None if init_state is None else init_state[0])
             return vals
-        use_dgather = RUNS_TIMELINE == "dgather" or (
-            RUNS_TIMELINE == "auto" and elem_sz == 1
-            and widths.shape[0] * BLOCK_SZ * 10 >= total_rows * 6)
+        # "auto" = plain block gather: its session-31 losses to dgather
+        # were the pow2-padding handicap on the data-block axis — with
+        # fine buckets + adaptive chunks gather wins everywhere
+        # (session 38: 18.1 vs 15.8 at 1/3-data, 26.6 vs 16.2 at 1/2).
+        use_dgather = RUNS_TIMELINE == "dgather"
         if (use_dgather and total_rows % BLOCK_SZ == 0 and not lowdim):
             # Byte-gather timeline: place the PACKED payload blocks on
             # the timeline before unpacking (run slots keep width-0

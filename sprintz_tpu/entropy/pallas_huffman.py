@@ -53,7 +53,7 @@ LANE_TILE = 1024  # chunks per grid step: 8 sublanes x 128 lanes
 
 # Run the canonical-index -> symbol permutation inside the kernel
 # (default decided by the round-4 device A/B; see module docstring).
-FUSE_PERM = config.get("SPRINTZ_HUFF_FUSE_PERM", default="0") == "1"
+FUSE_PERM = config.get("SPRINTZ_HUFF_FUSE_PERM", default="1") == "1"
 
 
 def decode_pallas_available(nchunks_padded: int, chunk_symbols: int) -> bool:
