@@ -77,10 +77,12 @@ KNOBS: dict[str, Knob] = {k.name: k for k in [
        "dot), einsum2 (EB-major weights), select (VPU select-acc), "
        "wselect (width-stratified static shifts), dyn (variable "
        "shifts; 10x loser, session 13), wbank (ONE static width-bank "
-       "MXU weight shared by all blocks + per-width select).",
+       "MXU weight shared by all blocks + per-width select), jsel "
+       "(fused EB-way static selects, full-lane in grouped layout).",
        "ops.pack.LOWDIM_IMPL",
-       ("einsum", "einsum2", "select", "wselect", "dyn", "wbank"),
-       "sessions 5/9/13; wbank r4"),
+       ("einsum", "einsum2", "select", "wselect", "dyn", "wbank",
+        "jsel"),
+       "sessions 5/9/13; wbank/jsel r4"),
     # ----------------------------------------------------------- decoder
     _K("SPRINTZ_LOWDIM_PASS", "auto", "trace", "str",
        "Fused lowdim delta decode pass: auto (grouped when 128%D==0, "

@@ -246,6 +246,25 @@ def pack_dims_lowdim(errs_zz: jnp.ndarray, widths: jnp.ndarray,
                       axis=0)  # (EB, D, c)
         return out.transpose(2, 1, 0).astype(jnp.uint8)  # (c, D, EB)
 
+    def chunk_jpack(errs_c, widths_c):
+        # Fused-select pack twin of the unpack's chunk_jsel: byte j of
+        # a dim's field collects row fragments whose landing byte q_r
+        # is j (low), j-1 (mid) or j-2 (high, eb=16 only). Bits of
+        # different rows never collide within a byte, so the sum over
+        # the 8-row axis equals the OR. All N-scale tensors stay
+        # (c, 8, D) full-lane; shifts are static.
+        bitoff = jnp.arange(BLOCK_SZ)[None, :, None] * widths_c[:, None, :]
+        cshift = errs_c << (bitoff & 7)  # (c, 8, D) <= eb+7 bits
+        q = bitoff >> 3
+        byts = []
+        for jbyte in range(eb):
+            b = jnp.where(q == jbyte, cshift & 0xFF, 0)
+            b = b | jnp.where(q == jbyte - 1, (cshift >> 8) & 0xFF, 0)
+            if eb > 8:
+                b = b | jnp.where(q == jbyte - 2, (cshift >> 16) & 0xFF, 0)
+            byts.append(jnp.sum(b, axis=1))  # (c, D)
+        return jnp.stack(byts, axis=-1).astype(jnp.uint8)  # (c, D, EB)
+
     def chunk_wpack(errs_c, widths_c):
         # Width-stratified: a lowdim dim's field layout depends ONLY on
         # its own width (bit offset of sample r is r*w — no cross-dim
@@ -275,6 +294,8 @@ def pack_dims_lowdim(errs_zz: jnp.ndarray, widths: jnp.ndarray,
 
     if LOWDIM_IMPL == "wselect":
         return _chunked(chunk_wpack, nb, errs_zz, widths)
+    if LOWDIM_IMPL == "jsel":
+        return _chunked(chunk_jpack, nb, errs_zz, widths)
     if LOWDIM_IMPL == "wbank":
         return _chunked(
             lambda e, w: pack_dims_lowdim_wbank(e, w, elem_sz),
@@ -626,6 +647,31 @@ def unpack_dims_lowdim(dense: jnp.ndarray, widths: jnp.ndarray) -> jnp.ndarray:
         word = word & ((1 << w_t)[None] - 1)
         return word.transpose(2, 0, 1)  # (c, 8, D)
 
+    def chunk_jsel(dense_c, widths_c):
+        # Fused-select (session-38 diagnosis: the grouped unpack at
+        # 2.14 GB/s is the lowdim pin while the finish runs 24 — the
+        # einsum materializes an (., EB)-minor reduce). Here every
+        # tensor is (c, 8, D) with D the folded ~128-lane axis: the
+        # byte window is built by EB static selects per byte (d_t rows
+        # broadcast over r), one variable shift at the end. XLA fuses
+        # the whole chain into one elementwise kernel whose traffic is
+        # payload + offsets + output only.
+        bitoff = jnp.arange(BLOCK_SZ)[None, :, None] * widths_c[:, None, :]
+        q = bitoff >> 3  # (c, 8, D)
+        d_t = dense_c.transpose(0, 2, 1)  # (c, EB, D)
+
+        def byte_at(qq):
+            out = jnp.zeros_like(qq)
+            for jj in range(eb):  # static EB-way select
+                out = jnp.where(qq == jj, d_t[:, jj][:, None, :], out)
+            return out
+
+        word = byte_at(q) | (byte_at(q + 1) << 8)
+        if eb > 8:
+            word = word | (byte_at(q + 2) << 16)
+        word = word >> (bitoff & 7)
+        return word & ((1 << widths_c)[:, None, :] - 1)
+
     def chunk_wsel(dense_c, widths_c):
         # Width-stratified (see chunk_wpack): per legal width w the
         # sample windows sit at STATIC byte offsets (bit r*w), so each
@@ -655,6 +701,8 @@ def unpack_dims_lowdim(dense: jnp.ndarray, widths: jnp.ndarray) -> jnp.ndarray:
         return _chunked(chunk_e2, nb, dense, widths)
     if LOWDIM_IMPL == "dyn":
         return _chunked(chunk_dyn, nb, dense, widths)
+    if LOWDIM_IMPL == "jsel":
+        return _chunked(chunk_jsel, nb, dense, widths)
     if LOWDIM_IMPL == "wbank":
         return _chunked(unpack_dims_lowdim_wbank, nb, dense, widths)
     return _chunked(chunk_sel if LOWDIM_IMPL == "select" else chunk,
