@@ -31,6 +31,14 @@ DEC_IMPLS = ("einsum", "einsum2", "jsel", "wselect", "dyn")
 PACK_IMPLS = ("einsum", "jsel", "wselect")
 
 
+def _eq_device(a, b) -> bool:
+    """Device-side equality: ONE bool scalar crosses the relay (a full
+    array pull is minutes at the relay's MB/s — session-39 incident)."""
+    import jax.numpy as jnp
+
+    return bool(jnp.array_equal(a, b))
+
+
 def _grouped_inputs(rng, D, esz, c):
     """Random (c*g, D, EB) dense + legal widths, grouped-view arrays."""
     from sprintz_tpu.ops.pack import _lowdim_widths, lowdim_group
@@ -69,10 +77,10 @@ def sec_iso(rng, iters):
                         return pack.unpack_dims_lowdim(d, w)
 
                     if rep == 0:
-                        out = np.asarray(kern(dj, wj))
+                        out = jax.jit(kern)(dj, wj)
                         if ref is None:
                             ref = out
-                        elif not np.array_equal(out, ref):
+                        elif not _eq_device(out, ref):
                             print(f"d{D}u{8*esz} unpack {impl}: NOT EXACT",
                                   flush=True)
                             continue
@@ -113,10 +121,12 @@ def sec_isop(rng, iters):
                         return pack.pack_dims_lowdim_grouped(e, w, esz)
 
                     if rep == 0:
-                        out = np.asarray(kern(ej, wj))
+                        import jax
+
+                        out = jax.jit(kern)(ej, wj)
                         if ref is None:
                             ref = out
-                        elif not np.array_equal(out, ref):
+                        elif not _eq_device(out, ref):
                             print(f"d{D}u{8*esz} pack {impl}: NOT EXACT",
                                   flush=True)
                             continue
@@ -157,6 +167,9 @@ def sec_full(rng, iters):
         dj = jnp.asarray(pad_rows(d2, nd))
         wj = jnp.asarray(pad_rows(idx.widths, nd))
 
+        import jax
+
+        rawj = jnp.asarray(raw[: idx.total_rows])
         cases = [("grouped", "einsum"), ("grouped", "jsel"),
                  ("legacy", "einsum"), ("legacy", "jsel")]
         res = {p: [] for p in cases}
@@ -172,10 +185,8 @@ def sec_full(rng, iters):
                             d, w, "delta", esz, True)
 
                     if rep == 0:
-                        out = np.asarray(kern(dj, wj))[: idx.total_rows]
-                        if not np.array_equal(
-                                out.reshape(-1),
-                                raw.reshape(-1)[: out.size]):
+                        out = jax.jit(kern)(dj, wj)[: idx.total_rows]
+                        if not _eq_device(out, rawj):
                             print(f"d{D} dec {lp}/{impl}: NOT EXACT",
                                   flush=True)
                             continue
@@ -206,13 +217,12 @@ def sec_full(rng, iters):
                             r, "delta", esz, True)
 
                     if rep == 0:
-                        w_, h_, de_, ws_ = (np.asarray(x)
-                                            for x in kern(rows_j))
-                        sig = (w_.astype(np.int64),
-                               de_.astype(np.int64)[:, :w_.shape[1]])
+                        w_, h_, de_, ws_ = jax.jit(kern)(rows_j)
+                        sig = (w_.astype(jnp.int32),
+                               de_.astype(jnp.int32)[:, :w_.shape[1]])
                         if ref_sig is None:
                             ref_sig = sig
-                        elif not all(np.array_equal(a, b) for a, b
+                        elif not all(_eq_device(a, b) for a, b
                                      in zip(sig, ref_sig)):
                             print(f"d{D} enc {le}/{impl}: NOT EXACT",
                                   flush=True)
