@@ -16,6 +16,7 @@ Layers:
 - ``sprintz_tpu.data``     corpus loaders and quantizers
 """
 
+from . import config as config  # noqa: F401  (validates SPRINTZ_* env at import)
 from .api import CorruptStreamError, SprintzCodec, compress, decompress  # noqa: F401
 from .constants import CodecConfig, DEFAULT_CONFIG  # noqa: F401
 
