@@ -27,7 +27,10 @@ sys.path.insert(0, ".")
 SMOKE = os.environ.get("SPRINTZ_SESSION_SMOKE") == "1"
 SECS = os.environ.get("SPRINTZ_SESSION_SEC", "iso,isop,full").split(",")
 
-DEC_IMPLS = ("einsum", "einsum2", "jsel", "wselect", "dyn")
+# einsum2 crashed the device (UNAVAILABLE) twice at the iso shape in
+# this session — dropped from the sweep (it was noise-level vs einsum
+# in session 13; the crash is an XLA lowering issue, not our math)
+DEC_IMPLS = ("einsum", "jsel", "wselect", "dyn")
 PACK_IMPLS = ("einsum", "jsel", "wselect")
 
 
