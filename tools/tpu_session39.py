@@ -27,19 +27,19 @@ sys.path.insert(0, ".")
 SMOKE = os.environ.get("SPRINTZ_SESSION_SMOKE") == "1"
 SECS = os.environ.get("SPRINTZ_SESSION_SEC", "iso,isop,full").split(",")
 
-# einsum2 crashed the device (UNAVAILABLE) twice at the iso shape in
-# this session — dropped from the sweep (it was noise-level vs einsum
-# in session 13; the crash is an XLA lowering issue, not our math)
-DEC_IMPLS = ("einsum", "jsel", "wselect", "dyn")
+DEC_IMPLS = ("einsum", "einsum2", "jsel", "wselect", "dyn")
 PACK_IMPLS = ("einsum", "jsel", "wselect")
 
 
 def _eq_device(a, b) -> bool:
     """Device-side equality: ONE bool scalar crosses the relay (a full
-    array pull is minutes at the relay's MB/s — session-39 incident)."""
+    array pull is minutes at the relay's MB/s) — and the comparison MUST
+    be jitted: EAGER jnp ops through axon dispatch per-op and took 330 s
+    (sometimes timing out as UNAVAILABLE) on 34 MB operands."""
+    import jax
     import jax.numpy as jnp
 
-    return bool(jnp.array_equal(a, b))
+    return bool(jax.jit(jnp.array_equal)(a, b))
 
 
 def _grouped_inputs(rng, D, esz, c):
