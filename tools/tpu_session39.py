@@ -27,7 +27,10 @@ sys.path.insert(0, ".")
 SMOKE = os.environ.get("SPRINTZ_SESSION_SMOKE") == "1"
 SECS = os.environ.get("SPRINTZ_SESSION_SEC", "iso,isop,full").split(",")
 
-DEC_IMPLS = ("einsum", "einsum2", "jsel", "wselect", "dyn")
+# einsum2 is EXCLUDED: its execution dies UNAVAILABLE at the iso shape
+# (three runs, three failures, each blocking on einsum2's result — the
+# interactive repro that ran einsum+jsel fine never exercised it).
+DEC_IMPLS = ("einsum", "jsel", "wselect", "dyn")
 PACK_IMPLS = ("einsum", "jsel", "wselect")
 
 
