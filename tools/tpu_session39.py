@@ -27,10 +27,10 @@ sys.path.insert(0, ".")
 SMOKE = os.environ.get("SPRINTZ_SESSION_SMOKE") == "1"
 SECS = os.environ.get("SPRINTZ_SESSION_SEC", "iso,isop,full").split(",")
 
-# einsum2 is EXCLUDED: its execution dies UNAVAILABLE at the iso shape
-# (three runs, three failures, each blocking on einsum2's result — the
-# interactive repro that ran einsum+jsel fine never exercised it).
-DEC_IMPLS = ("einsum", "jsel", "wselect", "dyn")
+# einsum2 LAST: something in this section dies UNAVAILABLE on the
+# second variant's result (4 runs); the loop now survives and
+# attributes failures per-impl, but keep the suspect at the end.
+DEC_IMPLS = ("einsum", "jsel", "wselect", "dyn", "einsum2")
 PACK_IMPLS = ("einsum", "jsel", "wselect")
 
 
@@ -73,25 +73,43 @@ def sec_iso(rng, iters):
         nbytes = c * g * 8 * D * esz
         ref = None
         res = {i: [] for i in DEC_IMPLS}
+        dead = set()
         prev = pack.LOWDIM_IMPL
         try:
             for rep in range(2):
                 for impl in DEC_IMPLS:
+                    if impl in dead:
+                        continue
                     pack.LOWDIM_IMPL = impl
 
                     def kern(d, w):
                         return pack.unpack_dims_lowdim(d, w)
 
-                    if rep == 0:
-                        out = jax.jit(kern)(dj, wj)
-                        if ref is None:
-                            ref = out
-                        elif not _eq_device(out, ref):
-                            print(f"d{D}u{8*esz} unpack {impl}: NOT EXACT",
-                                  flush=True)
-                            continue
-                    t = devloop_time(kern, (dj, wj), iters)
-                    res[impl].append(nbytes / t / 1e9)
+                    try:
+                        if rep == 0:
+                            out = jax.jit(kern)(dj, wj)
+                            out.block_until_ready()
+                            print(f"  {impl}: ran", flush=True)
+                            if ref is None:
+                                ref = out
+                            elif not _eq_device(out, ref):
+                                print(f"d{D}u{8*esz} unpack {impl}: "
+                                      "NOT EXACT", flush=True)
+                                dead.add(impl)
+                                continue
+                        t = devloop_time(kern, (dj, wj), iters)
+                        res[impl].append(nbytes / t / 1e9)
+                        print(f"  {impl}: rep{rep} "
+                              f"{res[impl][-1]:.2f} GB/s", flush=True)
+                    except Exception as e:  # attribute + survive
+                        dead.add(impl)
+                        print(f"d{D}u{8*esz} unpack {impl}: DIED "
+                              f"{type(e).__name__}: {str(e)[:80]}",
+                              flush=True)
+                        jax.block_until_ready(
+                            jnp.zeros((8, 128), jnp.int32) + 1)
+                        print("  (device probe ok, continuing)",
+                              flush=True)
         finally:
             pack.LOWDIM_IMPL = prev
         for impl, rs in res.items():
