@@ -113,18 +113,32 @@ def devloop_time(kernel, args, iters, vary=0, chain=False,
     # hit t3, too fast if it hit t1). Stalls only ever ADD wall time,
     # so the MIN of each endpoint over independent samples is
     # stall-proof; re-sample until the slope of the mins is stable
-    # (two consecutive estimates within 20%), bounded at 4 samples.
-    t1s, t3s = [t1], [t3]
-    est = max(min(t3s) - min(t1s), 1e-9)
+    # (two consecutive estimates within 20%). A stall in EVERY t1
+    # sample can still leave min(t3)-min(t1) <= 0 (session 39: the
+    # 1e-9 clamp "stabilized" and printed 7.8e7 GB/s) — the adaptive
+    # loop guaranteed a >= min_seconds slope at this n, so any stable
+    # estimate far below that is degenerate: regrow n and resample,
+    # falling back to the conservative whole-loop upper bound.
     for _ in range(3):
-        t1s.append(timed(n))
-        t3s.append(timed(3 * n))
-        new = max(min(t3s) - min(t1s), 1e-9)
-        stable = abs(new - est) <= 0.2 * est
-        est = new
-        if stable:
+        t1s, t3s = [t1], [t3]
+        est = min(t3s) - min(t1s)
+        for _ in range(3):
+            t1s.append(timed(n))
+            t3s.append(timed(3 * n))
+            new = min(t3s) - min(t1s)
+            if new > 0 and abs(new - est) <= 0.2 * new:
+                est = new
+                break
+            est = new
+        if est >= 0.5 * min_seconds:
+            return est / (2 * n)
+        if n >= (1 << 16):
             break
-    return est / (2 * n)
+        n = min(1 << 16, n * 4)
+        t1, t3 = timed(n), timed(3 * n)
+    # degenerate at the n cap: whole-loop time bounds per-iter cost
+    # from above (includes the fixed relay term — conservative)
+    return min(t3s) / (3 * n)
 
 
 def _claim_device_with_retry():
