@@ -72,17 +72,19 @@ KNOBS: dict[str, Knob] = {k.name: k for k in [
        "SLOWER (bf16 lane tiles are 128 wide; pairing shrinks the "
        "minor dim to 32 = 4x pad).", "ops.pack.UNPACK_PAIR", None,
        "sessions 34/35: decode loses 2.4x, encode a wash"),
-    _K("SPRINTZ_LOWDIM_IMPL", "einsum", "trace", "str",
-       "Lowdim (un)pack formulation: einsum (per-block one-hot MXU "
-       "dot), einsum2 (EB-major weights), select (VPU select-acc), "
-       "wselect (width-stratified static shifts), dyn (variable "
-       "shifts; 10x loser, session 13), wbank (ONE static width-bank "
-       "MXU weight shared by all blocks + per-width select), jsel "
-       "(fused EB-way static selects, full-lane in grouped layout).",
+    _K("SPRINTZ_LOWDIM_IMPL", "auto", "trace", "str",
+       "Lowdim (un)pack formulation: auto (unpack: jsel for u8 D<=4 "
+       "legacy-shape calls, einsum otherwise; pack: einsum), einsum "
+       "(per-block one-hot MXU dot), einsum2 (EB-major weights; DIES "
+       "UNAVAILABLE at some grouped shapes on device — session 39), "
+       "select (VPU select-acc), wselect (width-stratified static "
+       "shifts), dyn (variable shifts; 10x loser, session 13), wbank "
+       "(static width-bank MXU weight + per-width select), jsel "
+       "(fused EB-way static selects).",
        "ops.pack.LOWDIM_IMPL",
-       ("einsum", "einsum2", "select", "wselect", "dyn", "wbank",
-        "jsel"),
-       "sessions 5/9/13; wbank/jsel r4"),
+       ("auto", "einsum", "einsum2", "select", "wselect", "dyn",
+        "wbank", "jsel"),
+       "sessions 5/9/13/39: d3 u8 decode 1.70->1.84 via auto-jsel"),
     # ----------------------------------------------------------- decoder
     _K("SPRINTZ_LOWDIM_PASS", "auto", "trace", "str",
        "Fused lowdim delta decode pass: auto (grouped when 128%D==0, "

@@ -296,6 +296,10 @@ def pack_dims_lowdim(errs_zz: jnp.ndarray, widths: jnp.ndarray,
         return _chunked(chunk_wpack, nb, errs_zz, widths)
     if LOWDIM_IMPL == "jsel":
         return _chunked(chunk_jpack, nb, errs_zz, widths)
+    if LOWDIM_IMPL == "auto":
+        # pack impls tie on device (session 39: 0.49/1.02/1.03 for
+        # einsum AND jsel at d3/d4/d2u16) — einsum stands
+        return _chunked(chunk, nb, errs_zz, widths)
     if LOWDIM_IMPL == "wbank":
         return _chunked(
             lambda e, w: pack_dims_lowdim_wbank(e, w, elem_sz),
@@ -695,17 +699,25 @@ def unpack_dims_lowdim(dense: jnp.ndarray, widths: jnp.ndarray) -> jnp.ndarray:
             out = jnp.where(w_t[None] == w, jnp.stack(rows), out)
         return out.transpose(2, 0, 1)  # (c, 8, D)
 
-    if LOWDIM_IMPL == "wselect":
+    impl = LOWDIM_IMPL
+    if impl == "auto":
+        # session-39 device A/B: jsel wins the small-D u8 unpack
+        # (legacy-pass shapes: d3 1.70->1.84, d4 1.73->1.83 GB/s) but
+        # LOSES inside the grouped fold (folded D ~128: 0.38 vs 1.86)
+        # and at u16 (48-select chains: 0.40-2.35 vs 2.42-2.91) — the
+        # einsum stands everywhere else.
+        impl = "jsel" if (eb == 8 and ndims <= 4) else "einsum"
+    if impl == "wselect":
         return _chunked(chunk_wsel, nb, dense, widths)
-    if LOWDIM_IMPL == "einsum2":
+    if impl == "einsum2":
         return _chunked(chunk_e2, nb, dense, widths)
-    if LOWDIM_IMPL == "dyn":
+    if impl == "dyn":
         return _chunked(chunk_dyn, nb, dense, widths)
-    if LOWDIM_IMPL == "jsel":
+    if impl == "jsel":
         return _chunked(chunk_jsel, nb, dense, widths)
-    if LOWDIM_IMPL == "wbank":
+    if impl == "wbank":
         return _chunked(unpack_dims_lowdim_wbank, nb, dense, widths)
-    return _chunked(chunk_sel if LOWDIM_IMPL == "select" else chunk,
+    return _chunked(chunk_sel if impl == "select" else chunk,
                     nb, dense, widths)
 
 

@@ -107,7 +107,7 @@ def test_s8_full_stream_roundtrip(rng):
 
 
 @pytest.fixture(params=["select", "einsum", "wselect", "einsum2", "dyn",
-                        "wbank", "jsel"])
+                        "wbank", "jsel", "auto"])
 def lowdim_impl(request):
     prev = pack.LOWDIM_IMPL
     pack.LOWDIM_IMPL = request.param
