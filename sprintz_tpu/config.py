@@ -140,6 +140,11 @@ KNOBS: dict[str, Knob] = {k.name: k for k in [
        "timeline; kept as A/B evidence.", "decoder.decompress", None,
        "session 14"),
     # ----------------------------------------------------------- encoder
+    _K("SPRINTZ_ENCODE_FLAT", "auto", "trace", "str",
+       "Flat-param lowdim delta encode: auto (d3 only — its (N,3) "
+       "param layout was the 0.49 GB/s encode floor, sessions 40/41), "
+       "all, 0 (off).", "encoder.ENCODE_FLAT", ("auto", "all", "0"),
+       "sessions 40/41"),
     _K("SPRINTZ_LOWDIM_ENCODE", None, "trace", "str",
        "Lowdim delta encode pass: dmajor (default when "
        "SPRINTZ_LOWDIM_DMAJOR=1), grouped, legacy.",

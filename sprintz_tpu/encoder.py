@@ -62,6 +62,12 @@ LOWDIM_ENCODE = config.get(
     "SPRINTZ_LOWDIM_ENCODE",
     default="dmajor" if LOWDIM_DMAJOR else "legacy")
 
+# Flat-param lowdim delta encode (sessions 40/41): "auto" = flat for
+# d3 (the config whose 2-D (N, 3) param layout pinned every encode
+# formulation at 0.49 GB/s; dmajor covers d1/d2/d4 via its u32-word
+# bitcast), "all" = every lowdim delta, "0" = off.
+ENCODE_FLAT = config.get("SPRINTZ_ENCODE_FLAT")
+
 
 if _have_jax:
 
@@ -192,15 +198,53 @@ if _have_jax:
         hdr = header_value(widths, eb)
         return widths, hdr, dense, widths.sum(axis=1)
 
+    def _encode_lowdim_flat(flat: jnp.ndarray, ndims: int, elem_sz: int):
+        """Lowdim delta encode from a FLAT (N*D,) narrow param.
+
+        Sessions 40/41: the (N, D<=4) jit PARAMETER layout pads its
+        minor dim to a full tile (~32-42x physical bloat) and was the
+        measured floor that pinned every encode formulation at 0.49
+        GB/s (d3 u8). A flat param has no padded N-scale tensor: the
+        zigzag delta is one D-element lane shift of the flat stream
+        (bit-identical to delta_encode on rows — prev of row 0 is 0),
+        and every downstream consumer sees only internal reshapes
+        whose layout XLA may choose freely.
+        """
+        from .ops.pack import pack_dims_lowdim_grouped
+
+        eb = 8 * elem_sz
+        mask = (1 << eb) - 1
+        x = flat.astype(jnp.int32)
+        prev = jnp.pad(x, (ndims, 0))[: x.shape[0]]
+        d = (x - prev) & mask
+        half = 1 << (eb - 1)
+        ds = d - ((d & half) << 1)  # sign-extend the low eb bits
+        zz = ((ds << 1) ^ (ds >> 31)) & mask
+        nb = x.shape[0] // (BLOCK_SZ * ndims)
+        blocks = zz.reshape(nb, BLOCK_SZ, ndims)
+        ormask = jnp.bitwise_or.reduce(blocks, axis=1)
+        widths = block_widths_lowdim(ormask, elem_sz)
+        if 128 % ndims == 0 or ndims == 3:
+            dense = pack_dims_lowdim_grouped(blocks, widths, elem_sz)
+        else:
+            dense = pack_dims_lowdim(blocks, widths, elem_sz)
+        hdr = header_value(widths, eb)
+        return widths, hdr, dense, widths.sum(axis=1)
+
     @functools.partial(
-        jax.jit, static_argnames=("codec", "elem_sz", "lowdim"))
+        jax.jit, static_argnames=("codec", "elem_sz", "lowdim",
+                                  "flat_ndims"))
     def _encode_pass(rows: jnp.ndarray, codec: str, elem_sz: int,
-                     lowdim: bool):
+                     lowdim: bool, flat_ndims: int = 0):
         """Device pass: rows (N, D) int32 -> (widths, hdr, dense, wsums).
 
         N divisible by 8. Returns per-block arrays for all N//8 blocks.
+        flat_ndims > 0: rows is the FLAT (N*D,) narrow stream instead
+        (lowdim delta only — see _encode_lowdim_flat).
         """
         eb = 8 * elem_sz
+        if flat_ndims:
+            return _encode_lowdim_flat(rows, flat_ndims, elem_sz)
         if (lowdim and codec == "delta"
                 and rows.shape[1] * elem_sz in (1, 2, 3, 4)):
             d = rows.shape[1]
@@ -276,8 +320,16 @@ def compress(
     rows = pad_rows(
         flat[: nb_max * block_elems].reshape(-1, ndims), nb_pad * BLOCK_SZ)
 
-    widths, hdr, dense, width_sums = _encode_pass(
-        jnp.asarray(rows), codec, elem_sz, lowdim)
+    use_flat = (lowdim and codec == "delta"
+                and ENCODE_FLAT != "0"
+                and (ENCODE_FLAT == "all" or ndims == 3))
+    if use_flat:
+        widths, hdr, dense, width_sums = _encode_pass(
+            jnp.asarray(rows.reshape(-1)), codec, elem_sz, lowdim,
+            flat_ndims=ndims)
+    else:
+        widths, hdr, dense, width_sums = _encode_pass(
+            jnp.asarray(rows), codec, elem_sz, lowdim)
     widths_np = np.asarray(widths).astype(np.int32)
     hdr_np = np.asarray(hdr).astype(np.uint8)
     dense_np = np.asarray(dense)
