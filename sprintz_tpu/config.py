@@ -141,9 +141,10 @@ KNOBS: dict[str, Knob] = {k.name: k for k in [
        "session 14"),
     # ----------------------------------------------------------- encoder
     _K("SPRINTZ_ENCODE_FLAT", "auto", "trace", "str",
-       "Flat-param lowdim delta encode: auto (d3 only — its (N,3) "
-       "param layout was the 0.49 GB/s encode floor, sessions 40/41), "
-       "all, 0 (off).", "encoder.ENCODE_FLAT", ("auto", "all", "0"),
+       "Flat-param lowdim delta encode: auto (u8 D in {2,3,4} — the "
+       "(N,D) param layout was the encode floor; d3 0.49->1.23, d4 "
+       "1.68->2.37 GB/s), all, 0 (off).",
+       "encoder.ENCODE_FLAT", ("auto", "all", "0"),
        "sessions 40/41"),
     _K("SPRINTZ_LOWDIM_ENCODE", None, "trace", "str",
        "Lowdim delta encode pass: dmajor (default when "

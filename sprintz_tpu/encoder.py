@@ -62,10 +62,12 @@ LOWDIM_ENCODE = config.get(
     "SPRINTZ_LOWDIM_ENCODE",
     default="dmajor" if LOWDIM_DMAJOR else "legacy")
 
-# Flat-param lowdim delta encode (sessions 40/41): "auto" = flat for
-# d3 (the config whose 2-D (N, 3) param layout pinned every encode
-# formulation at 0.49 GB/s; dmajor covers d1/d2/d4 via its u32-word
-# bitcast), "all" = every lowdim delta, "0" = off.
+# Flat-param lowdim delta encode (sessions 40/41): the (N, D<=4) jit
+# param layout pads its minor to a full tile and was the measured
+# encode floor. Device (8 MiB, exact): d3 0.49 -> 1.23, d4 1.68
+# (dmajor) -> 2.37 GB/s. "auto" = u8 D in {2,3,4} (d1's (N,1) param
+# squeezes free, 4.91 GB/s; u16 unmeasured keeps dmajor 1.69),
+# "all" = every lowdim delta, "0" = off.
 ENCODE_FLAT = config.get("SPRINTZ_ENCODE_FLAT")
 
 
@@ -322,7 +324,8 @@ def compress(
 
     use_flat = (lowdim and codec == "delta"
                 and ENCODE_FLAT != "0"
-                and (ENCODE_FLAT == "all" or ndims == 3))
+                and (ENCODE_FLAT == "all"
+                     or (elem_sz == 1 and ndims in (2, 3, 4))))
     if use_flat:
         widths, hdr, dense, width_sums = _encode_pass(
             jnp.asarray(rows.reshape(-1)), codec, elem_sz, lowdim,
