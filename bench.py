@@ -385,6 +385,19 @@ def main():
         t2 = devloop_time(kern, (dj, wj), 32)
         extra_notes.append(
             f"delta/u8 lowdim d4 kernel: {raw2.nbytes / t2 / 1e9:.2f} GB/s")
+        # flat-param lowdim encode (sessions 40/41: the (N, D) param
+        # layout was the encode floor; d4 dmajor 1.68 -> flat 2.37)
+        fj = jnp.asarray(pad_rows(
+            raw2, (next_bucket(nr // 8) * 8)).reshape(-1))
+
+        def kern_e(f):
+            return encoder._encode_pass.__wrapped__(
+                f, "delta", 1, True, flat_ndims=4)
+
+        t3 = devloop_time(kern_e, (fj,), 16)
+        extra_notes.append(
+            f"delta/u8 lowdim d4 encode (flat): "
+            f"{raw2.nbytes / t3 / 1e9:.2f} GB/s")
 
     def extra_runs(budget_s):
         """RLE-heavy stream decode (1/3 rows in runs): exercises the
