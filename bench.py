@@ -141,6 +141,60 @@ def devloop_time(kernel, args, iters, vary=0, chain=False,
     return min(t3s) / (3 * n)
 
 
+def _metric_name(label: str) -> str:
+    """Normalize a bench metric label: parenthesized run parameters
+    (chunk counts, cs, S) vary run to run and are not part of the
+    metric's identity."""
+    import re
+
+    return re.sub(r"\s*\([^)]*\)", "", label).strip()
+
+
+def parse_bench_metrics(text: str) -> dict:
+    """Extract {metric: GB/s} pairs from a bench stderr line/tail."""
+    import re
+
+    out = {}
+    for m in re.finditer(r"([^|{}\n]+?):\s*([0-9]+\.[0-9]+)\s*GB/s", text):
+        out[_metric_name(m.group(1))] = float(m.group(2))
+    return out
+
+
+def envelope_check(current: dict) -> list:
+    """Warn when any current metric lands >10% below its best prior
+    BENCH_r*.json value (VERDICT r4 item 2: the devloop outlier guard
+    catches order-of-magnitude stalls, not 13% drift). Returns the
+    warning strings (also printed to stderr)."""
+    import glob
+
+    best: dict = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for k, v in parse_bench_metrics(rec.get("tail", "")).items():
+            # skip transfer/e2e rows: relay-dominated, not kernel drift
+            if "e2e" in k or "transfer" in k:
+                continue
+            if v > best.get(k, (0.0, ""))[0]:
+                best[k] = (v, os.path.basename(path))
+    warnings = []
+    for k, v in current.items():
+        if "e2e" in k or "transfer" in k or k not in best:
+            continue
+        b, src = best[k]
+        if v < 0.9 * b:
+            w = (f"bench ENVELOPE: {k} = {v:.2f} GB/s is "
+                 f"{100 * (1 - v / b):.0f}% below best prior "
+                 f"{b:.2f} ({src})")
+            warnings.append(w)
+            print(w, file=sys.stderr)
+    return warnings
+
+
 def _claim_device_with_retry():
     """Return jax.devices()[0], re-execing to retry on relay UNAVAILABLE.
 
@@ -538,6 +592,10 @@ def main():
         f"ratio: {ratio:.3f}x",
         file=sys.stderr,
     )
+
+    current = parse_bench_metrics(
+        f"decode kernel: {gbps:.3f} GB/s | {fire_note}")
+    envelope_check(current)
 
     print(json.dumps({
         "metric": "decode_kernel_throughput_u8_delta_d64",

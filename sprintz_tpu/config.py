@@ -141,14 +141,18 @@ KNOBS: dict[str, Knob] = {k.name: k for k in [
        "session 14"),
     # ----------------------------------------------------------- encoder
     _K("SPRINTZ_ENCODE_FLAT", "auto", "trace", "str",
-       "Flat-param lowdim delta encode: auto (u8 D in {2,3,4} — the "
-       "(N,D) param layout was the encode floor; d3 0.49->1.23, d4 "
-       "1.68->2.37 GB/s), all, 0 (off).",
+       "Flat-param lowdim delta encode: auto (the (N,D) param layout "
+       "was the encode floor; d3 0.49->1.23, d4 1.68->2.37 GB/s), all, "
+       "0 (off). Precedence: auto defers to an explicitly set "
+       "SPRINTZ_LOWDIM_ENCODE (so pass A/Bs measure the requested "
+       "pass); 'all' overrides it.",
        "encoder.ENCODE_FLAT", ("auto", "all", "0"),
-       "sessions 40/41"),
+       "sessions 40/41/43"),
     _K("SPRINTZ_LOWDIM_ENCODE", None, "trace", "str",
        "Lowdim delta encode pass: dmajor (default when "
-       "SPRINTZ_LOWDIM_DMAJOR=1), grouped, legacy.",
+       "SPRINTZ_LOWDIM_DMAJOR=1), grouped, legacy. Setting this "
+       "explicitly also disables the SPRINTZ_ENCODE_FLAT auto-route "
+       "(flat still wins with ENCODE_FLAT=all).",
        "encoder.LOWDIM_ENCODE", ("dmajor", "grouped", "legacy"),
        "sessions 9/11: dmajor 1.9x"),
     # ------------------------------------------------- models/forecasters

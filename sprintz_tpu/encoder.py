@@ -322,10 +322,14 @@ def compress(
     rows = pad_rows(
         flat[: nb_max * block_elems].reshape(-1, ndims), nb_pad * BLOCK_SZ)
 
+    # Precedence (ADVICE r4): an EXPLICIT SPRINTZ_LOWDIM_ENCODE setting
+    # disables the flat auto-route so pass A/Bs measure what they ask
+    # for; ENCODE_FLAT="all" still forces flat everywhere.
     use_flat = (lowdim and codec == "delta"
                 and ENCODE_FLAT != "0"
                 and (ENCODE_FLAT == "all"
-                     or (elem_sz == 1 and ndims in (2, 3, 4))))
+                     or (config.get("SPRINTZ_LOWDIM_ENCODE") is None
+                         and elem_sz == 1 and ndims in (2, 3, 4))))
     if use_flat:
         widths, hdr, dense, width_sums = _encode_pass(
             jnp.asarray(rows.reshape(-1)), codec, elem_sz, lowdim,

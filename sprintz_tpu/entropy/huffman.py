@@ -518,6 +518,15 @@ def device_decode_prep(buf: bytes):
     w32 = -(-max(maxb, 1) // 4) + 1
     w32 += (-w32) % 8  # mult-of-8 bucket: jit reuse without pow2 blowup
     nc_pad = next_bucket(max(nchunks, 1), minimum=8)
+    # Keep the Pallas kernel eligible: its grid walks the chunk axis in
+    # LANE_TILE steps, and the fine buckets above 4096 can land
+    # off-multiple (4608, 5632, ...), which silently demoted decode to
+    # the ~5x-slower XLA scan for chunk counts in that octave (ADVICE
+    # r4). Rounding up costs at most one extra tile of junk chunks.
+    from .pallas_huffman import LANE_TILE
+
+    if nc_pad > LANE_TILE:
+        nc_pad += (-nc_pad) % LANE_TILE
     dense = _dense_payloads(data, offsets, sizes, w32 * 4, nc_pad=nc_pad)
     # (W, C) layout: every (., C) slice in the kernel is full-lane minor
     # (a (C, W<=136)-minor layout pads each row to 128 lanes)

@@ -84,6 +84,15 @@ def _refill_windows(steps: int, nwords: int):
             ahi = (23 + 24 * s) // 32
             lo = max(w_lo, alo)
             hi = min(w_hi, ahi, nwords - 1)
+            # Invariant the kernel relies on (ADVICE r4): a window
+            # clipped empty must be empty BECAUSE of the nwords-1 cap —
+            # i.e. every lane that may still need a refill has widx past
+            # the last real word, so skipping its masked nbits/widx
+            # updates only perturbs provable tail junk. The uncapped
+            # window (interval bounds alone) is never empty while
+            # may-refill lanes exist.
+            assert hi >= lo or min(w_hi, ahi) >= lo > nwords - 1, (
+                f"refill window empty without the nwords cap at step {s}")
             out.append((lo, hi))
             new_lo = n_lo + 32 if must else min(n_lo + 32, 24)
             new_hi = max(min(n_hi, 23) + 32, 0 if must else n_hi)
@@ -140,6 +149,13 @@ def _decode_kernel(limits_ref, adj_ref, words_ref, out_ref, *, steps,
     widx = jnp.zeros(shape, jnp.int32)
     for s in range(steps):
         win = windows[s]
+        # A window clipped empty by the nwords-1 cap (win[1] < win[0])
+        # skips the WHOLE refill block, including the need-masked
+        # nbits/widx updates — sound only because an empty clipped
+        # window implies every refill-needing lane has already consumed
+        # the full chunk payload (widx bounds reach past the last real
+        # word), so those lanes decode tail junk the callers slice off.
+        # _refill_windows asserts this invariant (ADVICE r4).
         if win is not None and win[1] >= win[0]:
             need = nbits < 24
             w = jnp.zeros(shape, jnp.uint32)

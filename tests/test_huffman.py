@@ -311,3 +311,22 @@ def test_is_container_strictness(rng):
     hits = sum(hf.is_container(rng.integers(0, 256, 64).astype(
         np.uint8).tobytes()) for _ in range(200))
     assert hits == 0
+
+
+def test_device_prep_chunk_pad_keeps_pallas_eligible(rng):
+    """Fine buckets above 4096 can land off LANE_TILE (4608, 5632, ...),
+    which silently demoted device decode to the XLA scan for chunk
+    counts in the 4096-8192 octave (ADVICE r4). device_decode_prep must
+    round the chunk pad to a LANE_TILE multiple."""
+    import sprintz_tpu.entropy.huffman as hf
+    from sprintz_tpu.entropy.pallas_huffman import LANE_TILE
+
+    cs = 128
+    for nchunks in (4500, 6500):
+        data = rng.integers(0, 40, nchunks * cs).astype(np.uint8)
+        comp = huff_compress(data, chunk_symbols=cs, allow_stored=False)
+        words, tables, cs2, nc, n = hf.device_decode_prep(comp)
+        assert nc == nchunks and cs2 == cs
+        assert words.shape[1] % LANE_TILE == 0, words.shape
+        # and the stream still decodes exactly through every backend
+        assert np.array_equal(hf.huff_decompress(comp), data)
