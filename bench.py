@@ -544,6 +544,32 @@ def main():
         extra_notes.append(
             f"huff-enc kernel (cs={cs}): {nsym / t3 / 1e9:.2f} GB/s")
 
+    def extra_query(budget_s):
+        """Fused query pushdown (REDUCE_SUM, materialize=False) on the
+        headline stream: decode + reduce in one program with no output
+        write — the reference's query engine exists purely for this
+        speedup (query.hpp:22-29). Contiguous stream -> compact pass."""
+        if time.perf_counter() - t_start > budget_s:
+            return
+        from sprintz_tpu.query import pushdown
+
+        dq = dense  # headline stream payloads (contiguous)
+        ndq = next_bucket(dq.shape[0])
+        run = pushdown._get_compact_run()
+        djq = jnp.asarray(pad_rows(dq, ndq))
+        wjq = jnp.asarray(pad_rows(idx.widths, ndq))
+        gaps = jnp.zeros((ndq,), jnp.int32)
+        tg = jnp.int32(0)
+        nblocks = jnp.int32(dq.shape[0])
+        op = pushdown.Operation.REDUCE_SUM.value
+
+        def kern(d, w):
+            return run(d, w, gaps, tg, nblocks, 1, False, op)
+
+        t2 = devloop_time(kern, (djq, wjq), 32)
+        extra_notes.append(
+            f"query-sum kernel: {nbytes / t2 / 1e9:.2f} GB/s")
+
     def extra_xff_batch(budget_s):
         """Batched multi-stream FIRE encode — the compress_batch
         operating point (VERDICT r3 item 10): S streams ride the vmap
@@ -575,7 +601,8 @@ def main():
         extra_lowdim(budget_s=780)
         extra_runs(budget_s=900)
         extra_huffman(budget_s=1020)
-        extra_xff_batch(budget_s=1140)
+        extra_query(budget_s=1140)
+        extra_xff_batch(budget_s=1260)
     fire_note = "".join(n + " | " for n in extra_notes)
     if os.environ.get("SPRINTZ_BENCH_FIRE"):
         # context: FIRE decode throughput when streams batch in lanes

@@ -55,9 +55,10 @@ class QueryResult:
     min: np.ndarray | None = None  # (D,)
 
 
-def _fused_pass(dense, widths, out_rows, n_valid, codec, elem_sz, lowdim,
-                total_rows, op_id, materialize):
-    """Decode + (masked) reduce in one device program."""
+@functools.lru_cache(maxsize=None)
+def _get_fused_run():
+    """Module-cached jitted fused pass (a per-call jit would retrace on
+    every query — the function object is the jit cache key)."""
     import jax
     import jax.numpy as jnp
 
@@ -85,8 +86,15 @@ def _fused_pass(dense, widths, out_rows, n_valid, codec, elem_sz, lowdim,
             red = jnp.zeros(v32.shape[1], jnp.int32)
         return red, (vals if materialize else red)
 
-    return run(dense, widths, out_rows, n_valid, codec, elem_sz, lowdim,
-               total_rows, op_id, materialize)
+    return run
+
+
+def _fused_pass(dense, widths, out_rows, n_valid, codec, elem_sz, lowdim,
+                total_rows, op_id, materialize):
+    """Decode + (masked) reduce in one device program."""
+    return _get_fused_run()(
+        dense, widths, out_rows, n_valid, codec, elem_sz, lowdim,
+        total_rows, op_id, materialize)
 
 
 # diagnostic: which device path the last query() call took
@@ -94,15 +102,9 @@ def _fused_pass(dense, widths, out_rows, n_valid, codec, elem_sz, lowdim,
 last_path: str | None = None
 
 
-def _compact_delta_pass(dense, widths, gaps_before, trailing_gap, n_blocks,
-                        elem_sz, lowdim, op_id):
-    """O(data-blocks) delta reduction: run rows never materialize.
-
-    dense/widths: padded data-block payloads (nb_pad, ...); gaps_before:
-    (nb_pad,) int32 run rows immediately before each data block;
-    trailing_gap: scalar run rows after the last data block; n_blocks:
-    number of valid data blocks. Returns the (D,) i32 reduction.
-    """
+@functools.lru_cache(maxsize=None)
+def _get_compact_run():
+    """Module-cached jitted compact pass (see _get_fused_run)."""
     import jax
     import jax.numpy as jnp
 
@@ -148,8 +150,21 @@ def _compact_delta_pass(dense, widths, gaps_before, trailing_gap, n_blocks,
         m = jnp.min(jnp.where(valid, vals, 1 << 30), axis=(0, 1))
         return jnp.where(leading_zero, jnp.minimum(m, 0), m)
 
-    return run(dense, widths, gaps_before, trailing_gap, n_blocks, elem_sz,
-               lowdim, op_id)
+    return run
+
+
+def _compact_delta_pass(dense, widths, gaps_before, trailing_gap, n_blocks,
+                        elem_sz, lowdim, op_id):
+    """O(data-blocks) delta reduction: run rows never materialize.
+
+    dense/widths: padded data-block payloads (nb_pad, ...); gaps_before:
+    (nb_pad,) int32 run rows immediately before each data block;
+    trailing_gap: scalar run rows after the last data block; n_blocks:
+    number of valid data blocks. Returns the (D,) i32 reduction.
+    """
+    return _get_compact_run()(
+        dense, widths, gaps_before, trailing_gap, n_blocks, elem_sz,
+        lowdim, op_id)
 
 
 def query(
