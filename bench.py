@@ -280,13 +280,27 @@ def main():
     rows_pad = next_bucket(idx.total_rows)
     if idx.total_rows == idx.widths.shape[0] * 8:
         nd_pad = next_bucket(dense.shape[0])
-        dense_j = jnp.asarray(pad_rows(dense, nd_pad))
-        widths_j = jnp.asarray(pad_rows(idx.widths, nd_pad))
+        dpad = pad_rows(dense, nd_pad)
+        wpad = pad_rows(idx.widths, nd_pad)
         out_rows_j = jnp.zeros((1,), jnp.int32)  # unused
+        if decoder._decode_flat_ok(False):
+            # production layout (session 42): flat 1-D params, reshaped
+            # inside jit — no padded minor-dim parameter at rest
+            dense_j = jnp.asarray(np.ascontiguousarray(dpad).reshape(-1))
+            widths_j = jnp.asarray(np.ascontiguousarray(wpad).reshape(-1))
+            maxb_h, nd_h = dpad.shape[2], wpad.shape[1]
 
-        def decode_kernel(d, w, o):
-            return decoder._decode_pass_contiguous.__wrapped__(
-                d, w, "delta", 1, False)
+            def decode_kernel(d, w, o):
+                return decoder._decode_pass_contiguous.__wrapped__(
+                    d.reshape(nd_pad, 8, maxb_h), w.reshape(nd_pad, nd_h),
+                    "delta", 1, False)
+        else:
+            dense_j = jnp.asarray(dpad)
+            widths_j = jnp.asarray(wpad)
+
+            def decode_kernel(d, w, o):
+                return decoder._decode_pass_contiguous.__wrapped__(
+                    d, w, "delta", 1, False)
     elif (grouping := decoder.group_by_signature(idx)) is not None:
         uniq_pad, perm = grouping
         u_pad, c_pad = perm.shape
@@ -342,12 +356,24 @@ def main():
         if idx2.total_rows != idx2.widths.shape[0] * 8:
             return  # non-contiguous: skip (covered by headline dispatch)
         nd2 = next_bucket(d2.shape[0])
-        dj = jnp.asarray(pad_rows(d2, nd2))
-        wj = jnp.asarray(pad_rows(idx2.widths, nd2))
+        dp2 = pad_rows(d2, nd2)
+        wp2 = pad_rows(idx2.widths, nd2)
+        if decoder._decode_flat_ok(False):
+            dj = jnp.asarray(np.ascontiguousarray(dp2).reshape(-1))
+            wj = jnp.asarray(np.ascontiguousarray(wp2).reshape(-1))
+            mb2, ndm2 = dp2.shape[2], wp2.shape[1]
 
-        def kern(d, w):
-            return decoder._decode_pass_contiguous.__wrapped__(
-                d, w, codec2, elem_sz2, False)
+            def kern(d, w):
+                return decoder._decode_pass_contiguous.__wrapped__(
+                    d.reshape(nd2, 8, mb2), w.reshape(nd2, ndm2),
+                    codec2, elem_sz2, False)
+        else:
+            dj = jnp.asarray(dp2)
+            wj = jnp.asarray(wp2)
+
+            def kern(d, w):
+                return decoder._decode_pass_contiguous.__wrapped__(
+                    d, w, codec2, elem_sz2, False)
 
         t2 = devloop_time(kern, (dj, wj), 32)
         extra_notes.append(

@@ -72,6 +72,12 @@ KNOBS: dict[str, Knob] = {k.name: k for k in [
        "SLOWER (bf16 lane tiles are 128 wide; pairing shrinks the "
        "minor dim to 32 = 4x pad).", "ops.pack.UNPACK_PAIR", None,
        "sessions 34/35: decode loses 2.4x, encode a wash"),
+    _K("SPRINTZ_UNPACK_WLAYOUT", "transpose", "trace", "str",
+       "Rowmajor unpack one-hot build layout: transpose (build "
+       "(c,D,MAXB), transpose into the dot) or dot (build directly in "
+       "the (c,MAXB,D) dot-operand layout).",
+       "ops.pack.UNPACK_WLAYOUT", ("transpose", "dot"),
+       "session 43 A/B"),
     _K("SPRINTZ_LOWDIM_IMPL", "auto", "trace", "str",
        "Lowdim (un)pack formulation: auto (unpack: jsel for u8 D<=4 "
        "legacy-shape calls, einsum otherwise; pack: einsum), einsum "
@@ -125,6 +131,12 @@ KNOBS: dict[str, Knob] = {k.name: k for k in [
        "tensors). Exact; measured a wash at D=64 (the padded-minor "
        "accounting, session 36), kept for smaller D experiments.",
        "decoder.ROWMAJOR_FOLD", None, "session 36"),
+    _K("SPRINTZ_DECODE_FLAT", "auto", "trace", "str",
+       "Flat-param contiguous decode: pass the dense/widths jit params "
+       "as 1-D arrays (their (nb,8,maxb)/(nb,D) layouts pad minor dims "
+       "at rest). auto (rowmajor passes), all, 0. Device session 42: "
+       "d64 u8 headline 17.7 -> 21.7 GB/s.",
+       "decoder.DECODE_FLAT", ("auto", "all", "0"), "session 42"),
     _K("SPRINTZ_MAXB_BUCKET", "pow2", "trace", "str",
        "Bucketing of the dense unpack buffer's byte width: pow2 (fewer "
        "jit variants) or mult8 (up to 1.6x smaller weights).",

@@ -112,6 +112,21 @@ GROUPED_FINISH = config.get("SPRINTZ_GROUPED_FINISH")
 # folds as d4 (its row<->u32 word bitcast needs row_b in {1,2,4}).
 LOWDIM_D3 = config.get("SPRINTZ_LOWDIM_D3")
 
+# Flat-param contiguous decode (session 42, the decode twin of the
+# session-40/41 encode discovery): the (nb, 8, maxb<=32) u8 dense and
+# (nb, D) u8 widths jit PARAMETERS pad their minor dims to full tiles
+# at rest; passing them as flat 1-D arrays and reshaping inside jit
+# lifted the d64 u8 headline decode 17.7 -> 21.7 GB/s and the isolated
+# unpack 21.3 -> 28.6 (device, exact). "auto" = rowmajor passes
+# (lowdim measured separately, session 43), "all", "0".
+DECODE_FLAT = config.get("SPRINTZ_DECODE_FLAT")
+
+
+def _decode_flat_ok(lowdim: bool) -> bool:
+    if DECODE_FLAT == "all":
+        return True
+    return DECODE_FLAT == "auto" and not lowdim
+
 
 def _lowdim_pass(codec: str, ndims: int, elem_sz: int) -> str:
     """Which fused lowdim delta pass applies (falls back to legacy)."""
@@ -735,6 +750,62 @@ if _have_jax:
 if _have_jax:
 
     @functools.partial(jax.jit, static_argnames=(
+        "codec", "elem_sz", "lowdim", "nb", "d1", "d2"))
+    def _decode_pass_contiguous_flat(dense_fl, widths_fl, codec, elem_sz,
+                                     lowdim, nb, d1, d2):
+        """Flat-param twin of _decode_pass_contiguous (session 42):
+        identical math, but the jit parameters are 1-D so no padded
+        minor-dim layout exists at rest; the reshapes fuse into the
+        first consumers. dense is (nb, d1, d2) — (nb, 8, maxb) rowmajor
+        or (nb, D, EB) lowdim."""
+        return _decode_pass_contiguous.__wrapped__(
+            dense_fl.reshape(nb, d1, d2),
+            widths_fl.reshape(nb, -1), codec, elem_sz, lowdim)
+
+    @functools.partial(jax.jit, static_argnames=(
+        "codec", "elem_sz", "lowdim", "nb", "d1", "d2"))
+    def _decode_pass_contiguous_chunk_flat(dense_fl, widths_fl, state,
+                                           codec, elem_sz, lowdim, nb,
+                                           d1, d2):
+        """Flat-param twin of _decode_pass_contiguous_chunk."""
+        return _decode_pass_contiguous_chunk.__wrapped__(
+            dense_fl.reshape(nb, d1, d2),
+            widths_fl.reshape(nb, -1), state, codec, elem_sz, lowdim)
+
+
+def _run_contiguous(dense: np.ndarray, widths: np.ndarray, codec: str,
+                    elem_sz: int, lowdim: bool, nd_pad: int):
+    """Dispatch one contiguous decode pass with the production param
+    layout (flat 1-D params when _decode_flat_ok)."""
+    d = pad_rows(dense, nd_pad)
+    w = pad_rows(widths, nd_pad)
+    if _decode_flat_ok(lowdim):
+        return _decode_pass_contiguous_flat(
+            jnp.asarray(np.ascontiguousarray(d).reshape(-1)),
+            jnp.asarray(np.ascontiguousarray(w).reshape(-1)),
+            codec, elem_sz, lowdim, nd_pad, d.shape[1], d.shape[2])
+    return _decode_pass_contiguous(
+        jnp.asarray(d), jnp.asarray(w), codec, elem_sz, lowdim)
+
+
+def _run_contiguous_chunk(dense: np.ndarray, widths: np.ndarray, state,
+                          codec: str, elem_sz: int, lowdim: bool,
+                          chunk_nb: int):
+    d = pad_rows(dense, chunk_nb)
+    w = pad_rows(widths, chunk_nb)
+    if _decode_flat_ok(lowdim):
+        return _decode_pass_contiguous_chunk_flat(
+            jnp.asarray(np.ascontiguousarray(d).reshape(-1)),
+            jnp.asarray(np.ascontiguousarray(w).reshape(-1)),
+            state, codec, elem_sz, lowdim, chunk_nb, d.shape[1],
+            d.shape[2])
+    return _decode_pass_contiguous_chunk(
+        jnp.asarray(d), jnp.asarray(w), state, codec, elem_sz, lowdim)
+
+
+if _have_jax:
+
+    @functools.partial(jax.jit, static_argnames=(
         "codec", "elem_sz", "lowdim"))
     def _decode_pass_contiguous_chunk(dense, widths, state, codec, elem_sz,
                                       lowdim):
@@ -1266,10 +1337,9 @@ def decompress(
                 prev = None  # (device vals, rows)
                 for lo in range(0, ndata, chunk_nb):
                     hi = min(lo + chunk_nb, ndata)
-                    vals, state = _decode_pass_contiguous_chunk(
-                        jnp.asarray(pad_rows(dense[lo:hi], chunk_nb)),
-                        jnp.asarray(pad_rows(idx.widths[lo:hi], chunk_nb)),
-                        state, codec, elem_sz, lowdim)
+                    vals, state = _run_contiguous_chunk(
+                        dense[lo:hi], idx.widths[lo:hi], state, codec,
+                        elem_sz, lowdim, chunk_nb)
                     if prev is not None:
                         parts.append(
                             np.asarray(prev[0][: prev[1]]).astype(udt))
@@ -1278,10 +1348,8 @@ def decompress(
                 body = np.concatenate(parts).reshape(-1)
             else:
                 nd_pad = next_bucket(ndata)
-                vals = _decode_pass_contiguous(
-                    jnp.asarray(pad_rows(dense, nd_pad)),
-                    jnp.asarray(pad_rows(idx.widths, nd_pad)),
-                    codec, elem_sz, lowdim)
+                vals = _run_contiguous(
+                    dense, idx.widths, codec, elem_sz, lowdim, nd_pad)
                 body = np.asarray(
                     vals[: idx.total_rows]).astype(udt).reshape(-1)
             tail = np.frombuffer(

@@ -71,6 +71,12 @@ LOWDIM_IMPL = config.get("SPRINTZ_LOWDIM_IMPL")
 # knob so the (un)pack twins agree with the fused passes).
 LOWDIM_D3 = config.get("SPRINTZ_LOWDIM_D3")
 
+# Rowmajor unpack one-hot build layout: "transpose" (build (c, D, MAXB),
+# transpose into the dot) or "dot" (build directly in the (c, MAXB, D)
+# dot-operand layout — larger minor dim on the build intermediates).
+# Device A/B: session 43.
+UNPACK_WLAYOUT = config.get("SPRINTZ_UNPACK_WLAYOUT")
+
 
 def _lowdim_widths(eb: int):
     """Non-zero legal lowdim widths: 1..eb minus eb-1 (bitmath
@@ -449,11 +455,21 @@ def unpack_rows_rowmajor(dense: jnp.ndarray, widths: jnp.ndarray,
         off = (jnp.cumsum(widths_c, axis=1) - widths_c
                if off_c is None else off_c.astype(jnp.int32))
         q = off >> 3  # (c, D)
-        rel = j[None, None, :] - q[:, :, None]  # (c, D, MAXB)
-        w = jnp.where(rel == 0, 1.0,
-                      jnp.where(rel == 1, 256.0,
-                                jnp.where(rel == 2, 65536.0, 0.0)))
-        word = _matmul_exact(dense_c, w.transpose(0, 2, 1))  # (c, 8, D)
+        if UNPACK_WLAYOUT == "dot":
+            # build the weight directly in the dot's (c, MAXB, D)
+            # operand layout: the intermediate minor dim is D (2x lane
+            # pad at D=64) instead of MAXB=32 (4x), and no transpose
+            rel = j[None, :, None] - q[:, None, :]  # (c, MAXB, D)
+            w = jnp.where(rel == 0, 1.0,
+                          jnp.where(rel == 1, 256.0,
+                                    jnp.where(rel == 2, 65536.0, 0.0)))
+            word = _matmul_exact(dense_c, w)  # (c, 8, D)
+        else:
+            rel = j[None, None, :] - q[:, :, None]  # (c, D, MAXB)
+            w = jnp.where(rel == 0, 1.0,
+                          jnp.where(rel == 1, 256.0,
+                                    jnp.where(rel == 2, 65536.0, 0.0)))
+            word = _matmul_exact(dense_c, w.transpose(0, 2, 1))  # (c, 8, D)
         word = word >> (off & 7)[:, None, :]
         return word & ((1 << widths_c)[:, None, :] - 1)
 
