@@ -134,9 +134,10 @@ KNOBS: dict[str, Knob] = {k.name: k for k in [
     _K("SPRINTZ_DECODE_FLAT", "auto", "trace", "str",
        "Flat-param contiguous decode: pass the dense/widths jit params "
        "as 1-D arrays (their (nb,8,maxb)/(nb,D) layouts pad minor dims "
-       "at rest). auto (rowmajor passes), all, 0. Device session 42: "
-       "d64 u8 headline 17.7 -> 21.7 GB/s.",
-       "decoder.DECODE_FLAT", ("auto", "all", "0"), "session 42"),
+       "at rest). auto = every contiguous pass, all, 0. Sessions "
+       "42/43: d64 u8 17.7->21.7, u16 42->49, lowdim d4u8 1.86->3.92, "
+       "d2u16 2.92->7.10, d3u8 1.84->2.36 GB/s.",
+       "decoder.DECODE_FLAT", ("auto", "all", "0"), "sessions 42/43"),
     _K("SPRINTZ_MAXB_BUCKET", "pow2", "trace", "str",
        "Bucketing of the dense unpack buffer's byte width: pow2 (fewer "
        "jit variants) or mult8 (up to 1.6x smaller weights).",
@@ -153,9 +154,11 @@ KNOBS: dict[str, Knob] = {k.name: k for k in [
        "session 14"),
     # ----------------------------------------------------------- encoder
     _K("SPRINTZ_ENCODE_FLAT", "auto", "trace", "str",
-       "Flat-param lowdim delta encode: auto (the (N,D) param layout "
-       "was the encode floor; d3 0.49->1.23, d4 1.68->2.37 GB/s), all, "
-       "0 (off). Precedence: auto defers to an explicitly set "
+       "Flat-param lowdim delta encode: auto (u8 D in {2,3,4} + u16 "
+       "d2 — the (N,D) param layout was the encode floor; d3 "
+       "0.49->1.23, d4 1.68->2.37, u16 d2 2.22->2.37 GB/s; u16 d1 "
+       "keeps dmajor, flat LOSES 12.9->10.7), all, 0 (off). "
+       "Precedence: auto defers to an explicitly set "
        "SPRINTZ_LOWDIM_ENCODE (so pass A/Bs measure the requested "
        "pass); 'all' overrides it.",
        "encoder.ENCODE_FLAT", ("auto", "all", "0"),

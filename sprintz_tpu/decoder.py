@@ -112,20 +112,19 @@ GROUPED_FINISH = config.get("SPRINTZ_GROUPED_FINISH")
 # folds as d4 (its row<->u32 word bitcast needs row_b in {1,2,4}).
 LOWDIM_D3 = config.get("SPRINTZ_LOWDIM_D3")
 
-# Flat-param contiguous decode (session 42, the decode twin of the
+# Flat-param contiguous decode (sessions 42/43, the decode twin of the
 # session-40/41 encode discovery): the (nb, 8, maxb<=32) u8 dense and
 # (nb, D) u8 widths jit PARAMETERS pad their minor dims to full tiles
 # at rest; passing them as flat 1-D arrays and reshaping inside jit
-# lifted the d64 u8 headline decode 17.7 -> 21.7 GB/s and the isolated
-# unpack 21.3 -> 28.6 (device, exact). "auto" = rowmajor passes
-# (lowdim measured separately, session 43), "all", "0".
+# lifted the d64 u8 headline decode 17.7 -> 21.7 GB/s (u16 42 -> 49)
+# and the lowdim cells d4u8 1.86 -> 3.92 / d2u16 2.92 -> 7.10 / d3u8
+# 1.84 -> 2.36 (device, exact). "auto" = every contiguous pass,
+# "all" (same, plus forces it where auto would skip), "0".
 DECODE_FLAT = config.get("SPRINTZ_DECODE_FLAT")
 
 
 def _decode_flat_ok(lowdim: bool) -> bool:
-    if DECODE_FLAT == "all":
-        return True
-    return DECODE_FLAT == "auto" and not lowdim
+    return DECODE_FLAT in ("auto", "all")
 
 
 def _lowdim_pass(codec: str, ndims: int, elem_sz: int) -> str:
@@ -1109,6 +1108,45 @@ def gather_payloads(buf: bytes, idx: StreamIndex, ndims: int, elem_sz: int,
     return dense
 
 
+def index_and_gather(buf: bytes, ngroups: int, ndims: int, elem_sz: int,
+                     lowdim: bool) -> tuple[StreamIndex, np.ndarray]:
+    """Walk + gather with the fused overlapped native pass when
+    available (rowmajor): the walker thread indexes blocks while worker
+    threads copy payload rows cache-hot — wall ~ max(walk, gather).
+    Output is identical to walk_headers + gather_payloads."""
+    from .native_host import walk_gather_native
+
+    if not lowdim and MAXB_BUCKET != "mult8":
+        # dense row stride guess from a sampled prefix; the fused call
+        # returns -3 if a later block exceeds it and we re-bucket.
+        # Doubling from the sampled pow2 bucket converges on exactly the
+        # bucket gather_payloads computes from the global max.
+        maxb_logical = ndims * elem_sz
+        sample = walk_headers(buf, min(int(ngroups), 64), ndims, elem_sz,
+                              lowdim=False)
+        if sample.widths.shape[0]:
+            rb_s = int((sample.widths.sum(axis=1).max() + 7) // 8)
+        else:
+            rb_s = 1
+        maxb = min(maxb_logical, next_bucket(max(rb_s, 1), minimum=8,
+                                             pow2=True))
+        while True:
+            res = walk_gather_native(buf, METADATA_LEN_RLE, ngroups,
+                                     ndims, elem_sz, maxb)
+            if res == -3 and maxb < maxb_logical:
+                maxb = min(maxb_logical, maxb * 2)
+                continue
+            break
+        if res is not None and res != -3:
+            widths, offsets, out_rows, total_rows, tail_offset, dense = res
+            idx = StreamIndex(widths=widths, payload_offsets=offsets,
+                              out_rows=out_rows, total_rows=total_rows,
+                              tail_offset=tail_offset)
+            return idx, dense
+    idx = walk_headers(buf, ngroups, ndims, elem_sz, lowdim=lowdim)
+    return idx, gather_payloads(buf, idx, ndims, elem_sz, lowdim)
+
+
 def decode_indexed(buf: bytes, idx: StreamIndex, ndims: int, elem_sz: int,
                    codec: str, init_state: np.ndarray | None = None,
                    lowdim: bool = False) -> np.ndarray:
@@ -1286,7 +1324,7 @@ def decompress(
     else:
         lowdim = force_layout == "lowdim"
 
-    idx = walk_headers(buf, ngroups, ndims, elem_sz, lowdim=lowdim)
+    idx, dense = index_and_gather(buf, ngroups, ndims, elem_sz, lowdim)
     if idx.tail_offset + remaining_len * elem_sz > len(buf):
         from .errors import CorruptStreamError
 
@@ -1295,7 +1333,6 @@ def decompress(
             f"{idx.tail_offset + remaining_len * elem_sz} bytes, "
             f"have {len(buf)}")
     ndata = idx.widths.shape[0]
-    dense = gather_payloads(buf, idx, ndims, elem_sz, lowdim)
 
     if (_use_ragged() and not lowdim and ndata
             and idx.total_rows % BLOCK_SZ == 0):

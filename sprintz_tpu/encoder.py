@@ -329,7 +329,8 @@ def compress(
                 and ENCODE_FLAT != "0"
                 and (ENCODE_FLAT == "all"
                      or (config.get("SPRINTZ_LOWDIM_ENCODE") is None
-                         and elem_sz == 1 and ndims in (2, 3, 4))))
+                         and ((elem_sz == 1 and ndims in (2, 3, 4))
+                              or (elem_sz == 2 and ndims == 2)))))
     if use_flat:
         widths, hdr, dense, width_sums = _encode_pass(
             jnp.asarray(rows.reshape(-1)), codec, elem_sz, lowdim,

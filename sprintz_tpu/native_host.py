@@ -28,7 +28,15 @@ def _build() -> ctypes.CDLL | None:
     if not _SRC.exists():
         return None
     src = _SRC.read_bytes()
-    tag = hashlib.sha256(src).hexdigest()[:16]
+    # -march=native: the library is compiled on demand on the deployment
+    # host, so host-specific ISA (BMI2 PDEP walk, AVX2 masked gather) is
+    # safe; a toolchain without it falls back to a portable build, and
+    # the source guards every intrinsic path. SPRINTZ_NATIVE_MARCH=0
+    # forces the portable build.
+    flags = ["-std=c++17", "-O3", "-fPIC", "-shared", "-pthread"]
+    if os.environ.get("SPRINTZ_NATIVE_MARCH", "1") != "0":
+        flags.append("-march=native")
+    tag = hashlib.sha256(src + repr(flags).encode()).hexdigest()[:16]
     cache = pathlib.Path(
         os.environ.get("SPRINTZ_NATIVE_CACHE",
                        os.path.join(tempfile.gettempdir(), "sprintz_native")))
@@ -39,10 +47,16 @@ def _build() -> ctypes.CDLL | None:
         # must not share an output path or one replaces the other's
         # half-written object
         tmp = so.with_suffix(f".tmp{os.getpid()}.so")
-        cmd = ["g++", "-std=c++17", "-O3", "-fPIC", "-shared", "-pthread",
-               str(_SRC), "-o", str(tmp)]
         try:
-            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            try:
+                subprocess.run(["g++", *flags, str(_SRC), "-o", str(tmp)],
+                               check=True, capture_output=True, timeout=120)
+            except subprocess.CalledProcessError:
+                if "-march=native" not in flags:
+                    raise
+                flags.remove("-march=native")
+                subprocess.run(["g++", *flags, str(_SRC), "-o", str(tmp)],
+                               check=True, capture_output=True, timeout=120)
             os.replace(tmp, so)
         except Exception:
             if not so.exists():  # a racing builder may have won
@@ -184,6 +198,54 @@ def walk_headers_parallel_native(buf: bytes, byte_offsets: np.ndarray,
             "stitch to the recorded row offsets")
     return (widths[:ndata].copy(), offsets[:ndata].copy(),
             out_rows[:ndata].copy(), int(meta[1]), int(meta[2]))
+
+
+def walk_gather_native(buf: bytes, start: int, ngroups: int, ndims: int,
+                       elem_sz: int, maxb: int):
+    """Fused overlapped walk+gather (rowmajor): the walker thread indexes
+    blocks while worker threads copy their payload rows cache-hot —
+    wall ~ max(walk, gather) instead of the sum.
+
+    ``maxb`` is the dense row-stride guess; returns None if the native
+    lib is unavailable, -3-style retry is handled by the CALLER (returns
+    the int -3 so the caller can re-bucket). Success: (widths, offsets,
+    out_rows, total_rows, tail_offset, dense).
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "sprintz_walk_gather"):
+        return None
+    data = pad_stream(buf)
+    ndata_max = max(int(ngroups) * 2, 1)
+    widths = np.empty((ndata_max, ndims), dtype=np.uint8)
+    offsets = np.empty(ndata_max, dtype=np.int64)
+    out_rows = np.empty(ndata_max, dtype=np.int64)
+    dense = np.empty((ndata_max, 8, maxb), dtype=np.uint8)
+    meta = np.zeros(3, dtype=np.int64)
+    fn = lib.sprintz_walk_gather
+    fn.restype = ctypes.c_int64
+    ndata = fn(
+        data.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(data.size - 1),
+        ctypes.c_int64(start), ctypes.c_int64(ngroups),
+        ctypes.c_int32(ndims), ctypes.c_int32(elem_sz),
+        ctypes.c_int64(maxb),
+        widths.ctypes.data_as(ctypes.c_void_p),
+        offsets.ctypes.data_as(ctypes.c_void_p),
+        out_rows.ctypes.data_as(ctypes.c_void_p),
+        dense.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(dense.size),
+        meta.ctypes.data_as(ctypes.c_void_p))
+    if ndata == -3:
+        return -3
+    if ndata < 0:
+        from .errors import CorruptStreamError
+
+        raise CorruptStreamError(
+            "stream walk overran the buffer: truncated stream or "
+            "inconsistent metadata")
+    return (widths[:ndata].copy(), offsets[:ndata].copy(),
+            out_rows[:ndata].copy(), int(meta[1]), int(meta[2]),
+            dense[:ndata])
 
 
 def gather_blocks_native(buf: bytes, offsets: np.ndarray, rb: np.ndarray,

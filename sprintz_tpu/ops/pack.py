@@ -31,7 +31,10 @@ import numpy as np
 from .. import config
 from ..constants import BLOCK_SZ
 
-_CHUNK = 8192  # blocks per one-hot chunk
+# blocks per one-hot chunk: bounds the transient weight tensors.
+# 8192 -> 16384 (session 43): the lax.map split at nb=16384 cost 5% on
+# the flat d64 headline (22.9 vs 21.7 GB/s unsplit).
+_CHUNK = 16384
 
 # opt-in Pallas kernels (ops/pallas_pack.py): "1" = the VPU
 # select-accumulate kernels (measured 4-5x slower on v5e, session 1),

@@ -192,8 +192,8 @@ def query(
         return _finish(rows, rows.shape[0], params)
 
     lowdim = ndims <= LOWDIM_MAX_NDIMS[elem_sz]
-    idx = _dec.walk_headers(buf, ngroups, ndims, elem_sz, lowdim=lowdim)
-    dense = _dec.gather_payloads(buf, idx, ndims, elem_sz, lowdim)
+    idx, dense = _dec.index_and_gather(buf, ngroups, ndims, elem_sz,
+                                       lowdim)
 
     ndata = dense.shape[0]
     nd_pad = next_bucket(max(ndata, 1))

@@ -87,3 +87,48 @@ def test_gather_units_native_rejects_out_of_range():
     ok = native_host.gather_units_native(
         b"abcdefgh", np.array([0]), np.array([12]), np.array([8]), out)
     assert not ok  # dst overruns the output
+
+
+def test_walk_gather_fused_matches_serial(rng):
+    """index_and_gather's fused native pass must equal walk_headers +
+    gather_payloads exactly — contiguous, runs-containing, and u16
+    streams, plus the maxb re-bucket retry (a late wide block)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from sprintz_tpu import decoder, encoder
+    from sprintz_tpu.golden.stream import read_metadata_rle
+
+    cases = []
+    raw = (np.cumsum(rng.integers(-6, 7, (4096, 24)), axis=0)
+           % 256).astype(np.uint8)
+    cases.append((raw, 24, 1))
+    m = (np.arange(4096) // 64 % 3 == 0)[:, None]
+    seg = rng.integers(-6, 7, (4096, 24))
+    cases.append(((np.cumsum(np.where(m, 0, seg), axis=0) % 256
+                   ).astype(np.uint8), 24, 1))
+    raw16 = (np.cumsum(rng.integers(-6, 7, (4096, 12)), axis=0)
+             % 65536).astype(np.uint16)
+    cases.append((raw16, 12, 2))
+    # late wide block: tiny deltas for 1000 blocks, then full-range rows
+    # (the 64-group sample underestimates maxb -> native returns -3 and
+    # the caller re-buckets)
+    wide = (np.cumsum(rng.integers(-2, 3, (16384, 24)), axis=0)
+            % 256).astype(np.uint8)
+    wide[-256:] = rng.integers(0, 256, (256, 24))
+    cases.append((wide, 24, 1))
+    for raw, D, esz in cases:
+        s = encoder.compress(raw.reshape(-1), D, codec="delta",
+                             elem_sz=esz)
+        ng, _, _ = read_metadata_rle(s)
+        idx0 = decoder.walk_headers(s, ng, D, esz, lowdim=False)
+        d0 = decoder.gather_payloads(s, idx0, D, esz, False)
+        idx1, d1 = decoder.index_and_gather(s, ng, D, esz, False)
+        assert np.array_equal(idx0.widths, idx1.widths)
+        assert np.array_equal(idx0.payload_offsets, idx1.payload_offsets)
+        assert np.array_equal(idx0.out_rows, idx1.out_rows)
+        assert idx0.total_rows == idx1.total_rows
+        assert idx0.tail_offset == idx1.tail_offset
+        assert d0.shape == d1.shape and np.array_equal(d0, d1)
