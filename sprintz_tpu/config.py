@@ -73,10 +73,10 @@ KNOBS: dict[str, Knob] = {k.name: k for k in [
        "minor dim to 32 = 4x pad).", "ops.pack.UNPACK_PAIR", None,
        "sessions 34/35: decode loses 2.4x, encode a wash"),
     _K("SPRINTZ_UNPACK_WLAYOUT", "transpose", "trace", "str",
-       "Rowmajor unpack one-hot build layout: transpose (build "
-       "(c,D,MAXB), transpose into the dot) or dot (build directly in "
-       "the (c,MAXB,D) dot-operand layout).",
-       "ops.pack.UNPACK_WLAYOUT", ("transpose", "dot"),
+       "Rowmajor unpack formulation: transpose (one-hot build "
+       "(c,D,MAXB) + transposed dot), dot (build in the dot-operand "
+       "layout), wordsel (matmul-free u32 word select + funnel shift).",
+       "ops.pack.UNPACK_WLAYOUT", ("transpose", "dot", "wordsel"),
        "session 43 A/B"),
     _K("SPRINTZ_LOWDIM_IMPL", "auto", "trace", "str",
        "Lowdim (un)pack formulation: auto (unpack: jsel for u8 D<=4 "

@@ -532,10 +532,39 @@ def unpack_rows_rowmajor(dense: jnp.ndarray, widths: jnp.ndarray,
         errs = jnp.stack([lo, hi], axis=-1).reshape(c, BLOCK_SZ, dp)
         return errs[:, :, :ndims]
 
+    def chunk_wordsel(dense_c, widths_c):
+        # Matmul-free extraction (session 46 A/B): bitcast each row's
+        # MAXB bytes to MAXB/4 u32 words; every field (width <= 16)
+        # spans <= 2 consecutive words, selected by a W32-deep where
+        # chain and funnel-shifted. The one-hot weight BUILD the matmul
+        # path pays ((c, D, MAXB) elements x ~7 ops) shrinks to
+        # (c, 8, D) x ~(2*W32 + 8) ops — ~2x fewer at maxb=32, D=64.
+        c0 = dense_c.shape[0]
+        off = jnp.cumsum(widths_c, axis=1) - widths_c  # (c, D)
+        w32 = maxb // 4
+        words = jax.lax.bitcast_convert_type(
+            dense_c.astype(jnp.uint8).reshape(c0, BLOCK_SZ, w32, 4),
+            jnp.uint32)  # (c, 8, W32)
+        q32 = (off >> 5)[:, None, :]  # (c, 1, D)
+        lo = jnp.broadcast_to(words[:, :, :1],
+                              (c0, BLOCK_SZ, ndims)) * 0
+        hi = lo
+        for j in range(w32):
+            wj = words[:, :, j:j + 1]
+            lo = jnp.where(q32 == j, wj, lo)
+            hi = jnp.where(q32 + 1 == j, wj, hi)
+        sh = (off & 31).astype(jnp.uint32)[:, None, :]
+        # hi << (32 - sh) with sh possibly 0: split as (hi << 1) << (31 - sh)
+        val = (lo >> sh) | ((hi << 1) << (31 - sh))
+        return (val.astype(jnp.int32)
+                & ((1 << widths_c)[:, None, :] - 1))
+
     if off is not None:
         return _chunked(chunk, nb, dense, widths, off)
     if pair:
         return _chunked(chunk_pair, nb, dense, widths)
+    if UNPACK_WLAYOUT == "wordsel" and maxb % 4 == 0:
+        return _chunked(chunk_wordsel, nb, dense, widths)
     return _chunked(chunk_s8 if MXU_IMPL == "s8" else chunk,
                     nb, dense, widths)
 
