@@ -455,12 +455,16 @@ def main():
         if idx2.total_rows != idx2.widths.shape[0] * 8:
             return
         nd2 = next_bucket(d2.shape[0])
-        dj = jnp.asarray(pad_rows(d2, nd2))
-        wj = jnp.asarray(pad_rows(idx2.widths, nd2))
+        dp2 = pad_rows(d2, nd2)
+        wp2 = pad_rows(idx2.widths, nd2)
+        ld1, ld2 = dp2.shape[1], dp2.shape[2]
+        dj = jnp.asarray(np.ascontiguousarray(dp2).reshape(-1))
+        wj = jnp.asarray(np.ascontiguousarray(wp2).reshape(-1))
 
         def kern(d, w):
             return decoder._decode_pass_contiguous.__wrapped__(
-                d, w, "delta", 1, True)
+                d.reshape(nd2, ld1, ld2), w.reshape(nd2, 4),
+                "delta", 1, True)
 
         t2 = devloop_time(kern, (dj, wj), 32)
         extra_notes.append(
@@ -582,15 +586,19 @@ def main():
         dq = dense  # headline stream payloads (contiguous)
         ndq = next_bucket(dq.shape[0])
         run = pushdown._get_compact_run()
-        djq = jnp.asarray(pad_rows(dq, ndq))
-        wjq = jnp.asarray(pad_rows(idx.widths, ndq))
+        dpq = pad_rows(dq, ndq)
+        wpq = pad_rows(idx.widths, ndq)
+        qmb = dpq.shape[2]
+        djq = jnp.asarray(np.ascontiguousarray(dpq).reshape(-1))
+        wjq = jnp.asarray(np.ascontiguousarray(wpq).reshape(-1))
         gaps = jnp.zeros((ndq,), jnp.int32)
         tg = jnp.int32(0)
         nblocks = jnp.int32(dq.shape[0])
         op = pushdown.Operation.REDUCE_SUM.value
 
         def kern(d, w):
-            return run(d, w, gaps, tg, nblocks, 1, False, op)
+            return run(d.reshape(ndq, 8, qmb), w.reshape(ndq, ndims),
+                       gaps, tg, nblocks, 1, False, op)
 
         t2 = devloop_time(kern, (djq, wjq), 32)
         extra_notes.append(

@@ -153,18 +153,45 @@ def _get_compact_run():
     return run
 
 
+@functools.lru_cache(maxsize=None)
+def _get_compact_run_flat():
+    """Flat-param twin (sessions 42/43): 1-D dense/widths jit params
+    avoid the padded-at-rest minor-dim layouts."""
+    import jax
+
+    inner = _get_compact_run()
+
+    @functools.partial(jax.jit, static_argnames=(
+        "nb", "d1", "d2", "ndims", "elem_sz", "lowdim", "op_id"))
+    def run(dense_fl, widths_fl, gaps_before, trailing_gap, n_blocks,
+            nb, d1, d2, ndims, elem_sz, lowdim, op_id):
+        return inner(dense_fl.reshape(nb, d1, d2),
+                     widths_fl.reshape(nb, ndims), gaps_before,
+                     trailing_gap, n_blocks, elem_sz, lowdim, op_id)
+
+    return run
+
+
 def _compact_delta_pass(dense, widths, gaps_before, trailing_gap, n_blocks,
                         elem_sz, lowdim, op_id):
     """O(data-blocks) delta reduction: run rows never materialize.
 
-    dense/widths: padded data-block payloads (nb_pad, ...); gaps_before:
-    (nb_pad,) int32 run rows immediately before each data block;
-    trailing_gap: scalar run rows after the last data block; n_blocks:
-    number of valid data blocks. Returns the (D,) i32 reduction.
+    dense/widths: padded numpy data-block payloads (nb_pad, ...);
+    gaps_before: (nb_pad,) int32 run rows immediately before each data
+    block; trailing_gap: scalar run rows after the last data block;
+    n_blocks: number of valid data blocks. Returns the (D,) i32
+    reduction. Params ship flat (1-D) per the session-42/43 layout
+    findings.
     """
-    return _get_compact_run()(
-        dense, widths, gaps_before, trailing_gap, n_blocks, elem_sz,
-        lowdim, op_id)
+    import jax.numpy as jnp
+
+    nb, d1, d2 = dense.shape
+    ndims = widths.shape[1]
+    return _get_compact_run_flat()(
+        jnp.asarray(np.ascontiguousarray(dense).reshape(-1)),
+        jnp.asarray(np.ascontiguousarray(widths).reshape(-1)),
+        gaps_before, trailing_gap, n_blocks, nb, d1, d2, ndims,
+        elem_sz, lowdim, op_id)
 
 
 def query(
@@ -210,8 +237,7 @@ def query(
         gaps[:ndata] = np.diff(idx.out_rows, prepend=-BLOCK_SZ) - BLOCK_SZ
         trailing = idx.total_rows - (int(idx.out_rows[-1]) + BLOCK_SZ)
         red = _compact_delta_pass(
-            jnp.asarray(pad_rows(dense, nd_pad)),
-            jnp.asarray(pad_rows(idx.widths, nd_pad)),
+            pad_rows(dense, nd_pad), pad_rows(idx.widths, nd_pad),
             jnp.asarray(gaps, jnp.int32), jnp.int32(trailing),
             jnp.int32(ndata), elem_sz, lowdim, params.op.value)
         payload = red
