@@ -413,13 +413,17 @@ def main():
         states = np.zeros((C, 3, ndims), np.int32)
         states[:, : sc.states.shape[1]] = sc.states
         lr = jnp.zeros((C, nb_pad), jnp.int32)
+        xmb = dense_c.shape[3]
 
         def kern(d, w, s):
             return decoder._decode_pass_chunks.__wrapped__(
-                d, w, lr, s, "xff", 1, False, nb_pad * 8, True)
+                d.reshape(C, nb_pad, 8, xmb),
+                w.reshape(C, nb_pad, ndims), lr, s,
+                "xff", 1, False, nb_pad * 8, True)
 
         t2 = devloop_time(
-            kern, (jnp.asarray(dense_c), jnp.asarray(widths_c),
+            kern, (jnp.asarray(dense_c.reshape(-1)),
+                   jnp.asarray(widths_c.reshape(-1)),
                    jnp.asarray(states)), 32)
         extra_notes.append(
             f"xff-par/u8 kernel ({C} chunks): "
@@ -501,13 +505,17 @@ def main():
         nd2 = next_bucket(d2.shape[0])
         orp = np.full(nd2, rows_pad2 + 8, dtype=np.int64)
         orp[: d2.shape[0]] = idx2.out_rows
-        dj = jnp.asarray(pad_rows(d2, nd2))
-        wj = jnp.asarray(pad_rows(idx2.widths, nd2))
+        dp2 = pad_rows(d2, nd2)
+        wp2 = pad_rows(idx2.widths, nd2)
+        rmb = dp2.shape[2]
+        dj = jnp.asarray(np.ascontiguousarray(dp2).reshape(-1))
+        wj = jnp.asarray(np.ascontiguousarray(wp2).reshape(-1))
         oj = jnp.asarray(orp, jnp.int32)
 
         def kern(d, w, o):
             return decoder._decode_pass.__wrapped__(
-                d, w, o, "delta", 1, False, rows_pad2)
+                d.reshape(nd2, 8, rmb), w.reshape(nd2, ndims), o,
+                "delta", 1, False, rows_pad2)
 
         t2 = devloop_time(kern, (dj, wj, oj), 32)
         extra_notes.append(

@@ -265,11 +265,20 @@ def decompress_parallel(buf: bytes, sidecar: Sidecar) -> np.ndarray:
     if prep is None:
         return decoder.decompress(buf, sidecar.codec, elem_sz)
 
-    vals = decoder._decode_pass_chunks(
-        jnp.asarray(prep.dense_c), jnp.asarray(prep.widths_c),
-        jnp.asarray(prep.local_rows), jnp.asarray(prep.states),
-        sidecar.codec, elem_sz, prep.lowdim, prep.rows_pad,
-        prep.contiguous)
+    if decoder._decode_flat_ok(prep.lowdim):
+        C, nb, d1, d2 = prep.dense_c.shape
+        vals = decoder._decode_pass_chunks_flat(
+            jnp.asarray(np.ascontiguousarray(prep.dense_c).reshape(-1)),
+            jnp.asarray(np.ascontiguousarray(prep.widths_c).reshape(-1)),
+            jnp.asarray(prep.local_rows), jnp.asarray(prep.states),
+            sidecar.codec, elem_sz, prep.lowdim, prep.rows_pad,
+            prep.contiguous, C, nb, d1, d2, prep.widths_c.shape[2])
+    else:
+        vals = decoder._decode_pass_chunks(
+            jnp.asarray(prep.dense_c), jnp.asarray(prep.widths_c),
+            jnp.asarray(prep.local_rows), jnp.asarray(prep.states),
+            sidecar.codec, elem_sz, prep.lowdim, prep.rows_pad,
+            prep.contiguous)
     vals = np.asarray(vals)
     C = prep.dense_c.shape[0]
     body = np.concatenate(

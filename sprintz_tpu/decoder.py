@@ -772,6 +772,37 @@ if _have_jax:
             widths_fl.reshape(nb, -1), state, codec, elem_sz, lowdim)
 
 
+if _have_jax:
+
+    @functools.partial(jax.jit, static_argnames=(
+        "codec", "elem_sz", "lowdim", "total_rows", "nb", "d1", "d2"))
+    def _decode_pass_flat(dense_fl, widths_fl, out_block_rows, codec,
+                          elem_sz, lowdim, total_rows, nb, d1, d2,
+                          init_state=None):
+        """Flat-param twin of _decode_pass (runs-capable timeline)."""
+        return _decode_pass.__wrapped__(
+            dense_fl.reshape(nb, d1, d2), widths_fl.reshape(nb, -1),
+            out_block_rows, codec, elem_sz, lowdim, total_rows,
+            init_state)
+
+
+def _run_pass(dense: np.ndarray, widths: np.ndarray, out_rows_j,
+              codec: str, elem_sz: int, lowdim: bool, nd_pad: int,
+              rows_pad: int, init_state=None):
+    """Dispatch one runs-capable decode pass with the production param
+    layout (flat 1-D when _decode_flat_ok)."""
+    d = pad_rows(dense, nd_pad)
+    w = pad_rows(widths, nd_pad)
+    if _decode_flat_ok(lowdim):
+        return _decode_pass_flat(
+            jnp.asarray(np.ascontiguousarray(d).reshape(-1)),
+            jnp.asarray(np.ascontiguousarray(w).reshape(-1)),
+            out_rows_j, codec, elem_sz, lowdim, rows_pad, nd_pad,
+            d.shape[1], d.shape[2], init_state)
+    return _decode_pass(jnp.asarray(d), jnp.asarray(w), out_rows_j,
+                        codec, elem_sz, lowdim, rows_pad, init_state)
+
+
 def _run_contiguous(dense: np.ndarray, widths: np.ndarray, codec: str,
                     elem_sz: int, lowdim: bool, nd_pad: int):
     """Dispatch one contiguous decode pass with the production param
@@ -908,6 +939,20 @@ if _have_jax:
             return vals.astype(jnp.uint8 if elem_sz == 1 else jnp.uint16)
 
         return jax.vmap(one)(dense, widths, local_rows, states)
+
+    @functools.partial(jax.jit, static_argnames=(
+        "codec", "elem_sz", "lowdim", "rows_pad", "contiguous",
+        "C", "nb", "d1", "d2", "ndims"))
+    def _decode_pass_chunks_flat(dense_fl, widths_fl, local_rows, states,
+                                 codec, elem_sz, lowdim, rows_pad,
+                                 contiguous, C, nb, d1, d2, ndims):
+        """Flat-param twin of _decode_pass_chunks (sessions 42/43): the
+        (C, nb, 8, maxb) u8 and (C, nb, D) i32 params pad their minor
+        dims at rest; 1-D params reshape inside jit."""
+        return _decode_pass_chunks.__wrapped__(
+            dense_fl.reshape(C, nb, d1, d2),
+            widths_fl.reshape(C, nb, ndims), local_rows, states,
+            codec, elem_sz, lowdim, rows_pad, contiguous)
 
 
 if _have_jax:
@@ -1167,11 +1212,9 @@ def decode_indexed(buf: bytes, idx: StreamIndex, ndims: int, elem_sz: int,
                  np.vstack([init_state,
                             np.zeros((3 - init_state.shape[0], ndims))]
                            ).astype(np.int32)))
-    vals = _decode_pass(
-        jnp.asarray(pad_rows(dense, nd_pad)),
-        jnp.asarray(pad_rows(idx.widths, nd_pad)),
-        jnp.asarray(out_rows_p, jnp.int32),
-        codec, elem_sz, lowdim, rows_pad, state)
+    vals = _run_pass(
+        dense, idx.widths, jnp.asarray(out_rows_p, jnp.int32),
+        codec, elem_sz, lowdim, nd_pad, rows_pad, state)
     udt = np.uint8 if elem_sz == 1 else np.uint16
     return np.asarray(vals[: idx.total_rows]).astype(udt)
 
@@ -1421,11 +1464,9 @@ def decompress(
             # padded blocks scatter out of range -> dropped by XLA
             out_rows_p = np.full(nd_pad, rows_pad + BLOCK_SZ, dtype=np.int64)
             out_rows_p[:ndata] = idx.out_rows
-            vals = _decode_pass(
-                jnp.asarray(pad_rows(dense, nd_pad)),
-                jnp.asarray(pad_rows(idx.widths, nd_pad)),
-                jnp.asarray(out_rows_p, jnp.int32),
-                codec, elem_sz, lowdim, rows_pad)
+            vals = _run_pass(
+                dense, idx.widths, jnp.asarray(out_rows_p, jnp.int32),
+                codec, elem_sz, lowdim, nd_pad, rows_pad)
         body = np.asarray(vals[: idx.total_rows]).astype(udt).reshape(-1)
     else:
         body = np.empty(0, dtype=udt)

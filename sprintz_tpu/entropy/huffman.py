@@ -757,10 +757,8 @@ def _make_encode_device():
         C, cs = syms.shape
         packed = jnp.where(
             syms > 255, 0, _bitslice_lookup(syms & 255, lut_tt, 16))
-        xs = packed.T  # (cs, C): scan steps read static slices
 
-        def step(carry, p):
-            acc, nbits = carry
+        def append1(acc, nbits, p):
             code = (p & 0xFFF).astype(jnp.uint32)
             ln = p >> 12
             acc = acc | (code << nbits.astype(jnp.uint32))  # <= 28 bits
@@ -769,10 +767,34 @@ def _make_encode_device():
             word = (acc & 0xFFFF).astype(jnp.int32)
             acc = jnp.where(flush, acc >> 16, acc)
             nbits = jnp.where(flush, nbits - 16, nbits)
-            return (acc, nbits), word | (flush.astype(jnp.int32) << 16)
+            return acc, nbits, word | (flush.astype(jnp.int32) << 16)
 
-        (acc, nbits), words = jax.lax.scan(
-            step, (jnp.zeros(C, jnp.uint32), jnp.zeros(C, jnp.int32)), xs)
+        z = (jnp.zeros(C, jnp.uint32), jnp.zeros(C, jnp.int32))
+        if cs % 2 == 0:
+            # two symbols per scan step (the decode kernel's trick):
+            # halves the scan's per-step overhead — session 44 measured
+            # the append scan at 379 us (1 sym) vs 173 us (2 syms) on
+            # the 4.4 MiB payload, lifting full encode 8.8 -> ~14 GB/s.
+            # Each append still flushes <= 1 u16 (acc < 16 bits entering,
+            # len <= 12), so the (steps, 2, C) words keep the exact
+            # word-order contract of the 1-sym scan.
+            xs = packed.T.reshape(cs // 2, 2, C)
+
+            def step2(carry, p2):
+                acc, nbits = carry
+                acc, nbits, w0 = append1(acc, nbits, p2[0])
+                acc, nbits, w1 = append1(acc, nbits, p2[1])
+                return (acc, nbits), jnp.stack([w0, w1])
+
+            (acc, nbits), words = jax.lax.scan(step2, z, xs)
+            return words.reshape(cs, C), acc.astype(jnp.int32), nbits
+
+        def step(carry, p):
+            acc, nbits = carry
+            acc, nbits, word = append1(acc, nbits, p)
+            return (acc, nbits), word
+
+        (acc, nbits), words = jax.lax.scan(step, z, packed.T)
         return words, acc.astype(jnp.int32), nbits
 
     return encode_device

@@ -120,6 +120,49 @@ def main():
                             jnp.zeros((8, 128), jnp.int32) + 1)
         pack.UNPACK_WLAYOUT = "transpose"
         jax.clear_caches()
+
+    # -------- Part C: why is the 64 MiB kernel 10.8 vs 22.9 GB/s? ----
+    # (bench r5 composed row: kernel leg at nb=131072 ran half speed.)
+    # A/B the _CHUNK split and the devloop salting cost at that size.
+    if not SMOKE:
+        nr = 1 << 20
+        raw = (np.cumsum(rng.integers(-6, 7, (nr, 64)), axis=0)
+               % 256).astype(np.uint8)
+        s = encoder.compress(raw.reshape(-1), 64, codec="delta")
+        ng, _, _ = read_metadata_rle(s)
+        idx = decoder.walk_headers(s, ng, 64, 1, lowdim=False)
+        dense = decoder.gather_payloads(s, idx, 64, 1, False)
+        nd_pad = next_bucket(dense.shape[0])
+        dp = pad_rows(dense, nd_pad)
+        wp = pad_rows(idx.widths, nd_pad)
+        maxb = dp.shape[2]
+        dfl = jnp.asarray(np.ascontiguousarray(dp).reshape(-1))
+        wfl = jnp.asarray(np.ascontiguousarray(wp).reshape(-1))
+        nbytes = raw.nbytes
+        print(f"-- C: 64 MiB u8 d64, nb_pad {nd_pad}, maxb {maxb}",
+              flush=True)
+
+        def full64(df, wf, nd_pad=nd_pad, maxb=maxb):
+            return decoder._decode_pass_contiguous.__wrapped__(
+                df.reshape(nd_pad, 8, maxb), wf.reshape(nd_pad, 64),
+                "delta", 1, False)
+
+        for chunk in (16384, 32768, 65536):
+            pack._CHUNK = chunk
+            jax.clear_caches()
+            for rep in range(2):
+                try:
+                    tme = devloop_time(full64, (dfl, wfl), 4)
+                    print(f"  64MiB chunk={chunk}: "
+                          f"{nbytes / tme / 1e9:6.2f} GB/s "
+                          f"({tme * 1e6:.0f} us)", flush=True)
+                except Exception as e:
+                    print(f"  64MiB chunk={chunk}: DIED "
+                          f"{type(e).__name__} {str(e)[:60]}", flush=True)
+                    jax.block_until_ready(
+                        jnp.zeros((8, 128), jnp.int32) + 1)
+        pack._CHUNK = 16384
+        jax.clear_caches()
     print("SESSION46 DONE", flush=True)
 
 
