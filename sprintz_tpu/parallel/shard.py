@@ -368,9 +368,11 @@ def dp_decompress(mesh: Mesh, buf: bytes, codec: str = "delta",
         idx = _dec.walk_headers_parallel(
             buf, ngroups, ndims, elem_sz, sidecar.byte_offsets,
             sidecar.row_offsets, sidecar.every_groups, lowdim=lowdim)
+        dense = _dec.gather_payloads(buf, idx, ndims, elem_sz, lowdim)
     else:
-        idx = _dec.walk_headers(buf, ngroups, ndims, elem_sz, lowdim=lowdim)
-    dense = _dec.gather_payloads(buf, idx, ndims, elem_sz, lowdim)
+        # fused overlapped walk+gather (decoder.index_and_gather)
+        idx, dense = _dec.index_and_gather(buf, ngroups, ndims, elem_sz,
+                                           lowdim)
     ndata = idx.widths.shape[0]
     tail = np.frombuffer(buf, dtype=udt, count=remaining_len,
                          offset=idx.tail_offset)
