@@ -582,6 +582,39 @@ def main():
         extra_notes.append(
             f"huff-enc kernel (cs={cs}): {nsym / t3 / 1e9:.2f} GB/s")
 
+    def extra_ndims_dip(budget_s):
+        """The d8 u8 cell — the reference's documented worst zone just
+        past the lowdim boundary (communicate/results.tex:156-162) and
+        the wordsel auto route's maxb-8 case. Full D curve: STATUS
+        session 45."""
+        if time.perf_counter() - t_start > budget_s:
+            return
+        D = 8
+        nr = 1 << 20
+        raw2 = (np.cumsum(rng.integers(-6, 7, (nr, D)), axis=0)
+                % 256).astype(np.uint8)
+        s2 = encoder.compress(raw2.reshape(-1), D, codec="delta")
+        ng2, _, _ = read_metadata_rle(s2)
+        idx2 = decoder.walk_headers(s2, ng2, D, 1, lowdim=False)
+        d2 = decoder.gather_payloads(s2, idx2, D, 1, False)
+        if idx2.total_rows != idx2.widths.shape[0] * 8:
+            return
+        nd2 = next_bucket(d2.shape[0])
+        dp2 = pad_rows(d2, nd2)
+        wp2 = pad_rows(idx2.widths, nd2)
+        mb2 = dp2.shape[2]
+        dj = jnp.asarray(np.ascontiguousarray(dp2).reshape(-1))
+        wj = jnp.asarray(np.ascontiguousarray(wp2).reshape(-1))
+
+        def kern(d, w):
+            return decoder._decode_pass_contiguous.__wrapped__(
+                d.reshape(nd2, 8, mb2), w.reshape(nd2, D),
+                "delta", 1, False)
+
+        t2 = devloop_time(kern, (dj, wj), 16)
+        extra_notes.append(
+            f"delta/u8 d8 kernel: {raw2.nbytes / t2 / 1e9:.2f} GB/s")
+
     def extra_query(budget_s):
         """Fused query pushdown (REDUCE_SUM, materialize=False) on the
         headline stream: decode + reduce in one program with no output
@@ -642,11 +675,26 @@ def main():
         mb64 = dp64.shape[2]
         dj64 = jnp.asarray(dfl)
         wj64 = jnp.asarray(wfl)
+        # production tiling (CHUNK_OUT_BYTES): state-carried 8 MiB tiles
+        # measured 17.9 GB/s on this stream vs 10.8 as one 64 MiB pass
+        # (session 47 knee)
+        tile_nb = max(1, decoder.CHUNK_OUT_BYTES // (8 * ndims))
+        tiles = max(1, nd64 // tile_nb)
+        if nd64 % tiles:
+            tiles = 1  # uneven split: time the single pass
+        nb_t = nd64 // tiles
 
         def kern(d, w):
-            return decoder._decode_pass_contiguous.__wrapped__(
-                d.reshape(nd64, 8, mb64), w.reshape(nd64, ndims),
-                "delta", 1, False)
+            dr = d.reshape(tiles, nb_t, 8, mb64)
+            wr = w.reshape(tiles, nb_t, ndims)
+            state = jnp.zeros((3, ndims), jnp.int32)
+            outs = []
+            for k in range(tiles):
+                vals, state = \
+                    decoder._decode_pass_contiguous_chunk.__wrapped__(
+                        dr[k], wr[k], state, "delta", 1, False)
+                outs.append(vals)
+            return jnp.concatenate(outs)
 
         t_kern = devloop_time(kern, (dj64, wj64), 8)
         composed = n64 / (t_host + t_kern) / 1e9
@@ -655,6 +703,50 @@ def main():
             f"{composed:.2f} GB/s "
             f"(host {n64 / t_host / 1e9:.2f} + kernel "
             f"{n64 / t_kern / 1e9:.2f})")
+        # u16 cell — the reference's fastest family (results.tex:168)
+        if time.perf_counter() - t_start > budget_s + 120:
+            return
+        raw16 = (np.cumsum(rng.integers(-6, 7, (nrows64 // 2, ndims)),
+                           axis=0) % 65536).astype(np.uint16)
+        s16 = encoder.compress(raw16.reshape(-1), ndims, codec="delta")
+        ng16, _, _ = read_metadata_rle(s16)
+        n16 = raw16.nbytes
+        th16 = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            idx16, d16 = decoder.index_and_gather(s16, ng16, ndims, 2,
+                                                  False)
+            ndp16 = next_bucket(d16.shape[0])
+            dfl16 = np.ascontiguousarray(pad_rows(d16, ndp16)).reshape(-1)
+            wfl16 = np.ascontiguousarray(
+                pad_rows(idx16.widths, ndp16)).reshape(-1)
+            th16 = min(th16, time.perf_counter() - t0)
+        mb16 = d16.shape[2]
+        tnb16 = max(1, decoder.CHUNK_OUT_BYTES // (8 * ndims * 2))
+        tiles16 = max(1, ndp16 // tnb16)
+        if ndp16 % tiles16:
+            tiles16 = 1
+        nbt16 = ndp16 // tiles16
+
+        def kern16(d, w):
+            dr = d.reshape(tiles16, nbt16, 8, mb16)
+            wr = w.reshape(tiles16, nbt16, ndims)
+            state = jnp.zeros((3, ndims), jnp.int32)
+            outs = []
+            for k in range(tiles16):
+                vals, state = \
+                    decoder._decode_pass_contiguous_chunk.__wrapped__(
+                        dr[k], wr[k], state, "delta", 2, False)
+                outs.append(vals)
+            return jnp.concatenate(outs)
+
+        tk16 = devloop_time(
+            kern16, (jnp.asarray(dfl16), jnp.asarray(wfl16)), 8)
+        extra_notes.append(
+            f"decode e2e 64MiB u16 (host+kernel, net of transfer): "
+            f"{n16 / (th16 + tk16) / 1e9:.2f} GB/s "
+            f"(host {n16 / th16 / 1e9:.2f} + kernel "
+            f"{n16 / tk16 / 1e9:.2f})")
 
     def extra_xff_batch(budget_s):
         """Batched multi-stream FIRE encode — the compress_batch
@@ -687,9 +779,10 @@ def main():
         extra_lowdim(budget_s=780)
         extra_runs(budget_s=900)
         extra_huffman(budget_s=1020)
-        extra_query(budget_s=1140)
-        extra_composed(budget_s=1260)
-        extra_xff_batch(budget_s=1380)
+        extra_ndims_dip(budget_s=1100)
+        extra_query(budget_s=1200)
+        extra_composed(budget_s=1320)
+        extra_xff_batch(budget_s=1500)
     fire_note = "".join(n + " | " for n in extra_notes)
     if os.environ.get("SPRINTZ_BENCH_FIRE"):
         # context: FIRE decode throughput when streams batch in lanes

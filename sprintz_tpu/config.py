@@ -72,12 +72,14 @@ KNOBS: dict[str, Knob] = {k.name: k for k in [
        "SLOWER (bf16 lane tiles are 128 wide; pairing shrinks the "
        "minor dim to 32 = 4x pad).", "ops.pack.UNPACK_PAIR", None,
        "sessions 34/35: decode loses 2.4x, encode a wash"),
-    _K("SPRINTZ_UNPACK_WLAYOUT", "transpose", "trace", "str",
-       "Rowmajor unpack formulation: transpose (one-hot build "
-       "(c,D,MAXB) + transposed dot), dot (build in the dot-operand "
-       "layout), wordsel (matmul-free u32 word select + funnel shift).",
-       "ops.pack.UNPACK_WLAYOUT", ("transpose", "dot", "wordsel"),
-       "session 43 A/B"),
+    _K("SPRINTZ_UNPACK_WLAYOUT", "auto", "trace", "str",
+       "Rowmajor unpack formulation: auto (wordsel when maxb==8 — its "
+       "2-deep word select wins 1.2-1.5x; one-hot matmul otherwise), "
+       "transpose (matmul always), dot (weight built in dot-operand "
+       "layout), wordsel (matmul-free select+funnel; 28x LOSS at "
+       "maxb 32 — deep select chains scalarize).",
+       "ops.pack.UNPACK_WLAYOUT", ("auto", "transpose", "dot", "wordsel"),
+       "sessions 46/47: d8u8 2.1->3.2, d16u8 4.4->6.3, d16u16 7.9->9.5"),
     _K("SPRINTZ_LOWDIM_IMPL", "auto", "trace", "str",
        "Lowdim (un)pack formulation: auto (unpack: jsel for u8 D<=4 "
        "legacy-shape calls, einsum otherwise; pack: einsum), einsum "

@@ -48,9 +48,11 @@ except Exception:  # pragma: no cover
 
 
 # max decoded bytes per device pass on the contiguous path; longer
-# streams are tiled with forecaster-state carry (keeps the working set
-# bounded for arbitrarily long streams)
-CHUNK_OUT_BYTES = 64 << 20
+# streams are tiled with forecaster-state carry. 64 MiB -> 8 MiB
+# (session 47): the same 64 MiB stream decodes at 10.8 GB/s as one pass
+# but 17.9 as eight 8 MiB state-carried tiles (32/16 MiB tiles measured
+# WORSE than single — the knee is the ~8 MiB working set).
+CHUNK_OUT_BYTES = 8 << 20
 
 # Dim-major lowdim decode (delta, D*elem_sz in {1,2,4}): all device
 # tensors keep the sample axis minor, fixing the 30x VPU lane starvation

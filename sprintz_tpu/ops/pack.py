@@ -74,11 +74,19 @@ LOWDIM_IMPL = config.get("SPRINTZ_LOWDIM_IMPL")
 # knob so the (un)pack twins agree with the fused passes).
 LOWDIM_D3 = config.get("SPRINTZ_LOWDIM_D3")
 
-# Rowmajor unpack one-hot build layout: "transpose" (build (c, D, MAXB),
-# transpose into the dot) or "dot" (build directly in the (c, MAXB, D)
-# dot-operand layout — larger minor dim on the build intermediates).
-# Device A/B: session 43.
+# Rowmajor unpack formulation: "auto" = wordsel (matmul-free u32 word
+# select + funnel shift) when maxb == 8 — its 2-deep word select wins
+# 1.2-1.5x there (sessions 46/47: d8u8 2.14->3.19, d16u8 4.42->6.29,
+# d16u16 7.91->9.52) while deeper select chains scalarize (28x loss at
+# maxb 32) — one-hot matmul ("transpose") otherwise. "dot" builds the
+# weight in the dot-operand layout (measured a wash).
 UNPACK_WLAYOUT = config.get("SPRINTZ_UNPACK_WLAYOUT")
+
+
+def _wordsel_ok(maxb: int) -> bool:
+    if UNPACK_WLAYOUT == "wordsel":
+        return maxb % 4 == 0
+    return UNPACK_WLAYOUT == "auto" and maxb == 8
 
 
 def _lowdim_widths(eb: int):
@@ -563,7 +571,7 @@ def unpack_rows_rowmajor(dense: jnp.ndarray, widths: jnp.ndarray,
         return _chunked(chunk, nb, dense, widths, off)
     if pair:
         return _chunked(chunk_pair, nb, dense, widths)
-    if UNPACK_WLAYOUT == "wordsel" and maxb % 4 == 0:
+    if _wordsel_ok(maxb):
         return _chunked(chunk_wordsel, nb, dense, widths)
     return _chunked(chunk_s8 if MXU_IMPL == "s8" else chunk,
                     nb, dense, widths)
