@@ -763,9 +763,13 @@ def main():
         S, nr = 512, 256
         raws = (np.cumsum(rng.integers(-6, 7, (S, nr, ndims)), axis=1)
                 % 256).astype(np.uint8)
-        rows_j = jnp.asarray(raws.astype(np.int32))
+        # narrow u8 param + on-device widen — what production
+        # compress/compress_batch pass (session 45b: the int32 param
+        # was 4x the HBM and the round-4 S=64 weakness)
+        rows_j = jnp.asarray(raws)
         batched = jax.vmap(
-            lambda r: encoder._encode_pass.__wrapped__(r, "xff", 1, False))
+            lambda r: encoder._encode_pass.__wrapped__(
+                r.astype(jnp.int32), "xff", 1, False))
         t2 = devloop_time(batched, (rows_j,), 8)
         extra_notes.append(
             f"xff-batch encode kernel (S={S}): "
