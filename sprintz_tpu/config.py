@@ -88,10 +88,11 @@ KNOBS: dict[str, Knob] = {k.name: k for k in [
        "select (VPU select-acc), wselect (width-stratified static "
        "shifts), dyn (variable shifts; 10x loser, session 13), wbank "
        "(static width-bank MXU weight + per-width select), jsel "
-       "(fused EB-way static selects).",
+       "(fused EB-way static selects), wsel32 (word-granular 2-deep "
+       "select + funnel — session 48 A/B).",
        "ops.pack.LOWDIM_IMPL",
        ("auto", "einsum", "einsum2", "select", "wselect", "dyn",
-        "wbank", "jsel"),
+        "wbank", "jsel", "wsel32"),
        "sessions 5/9/13/39: d3 u8 decode 1.70->1.84 via auto-jsel"),
     # ----------------------------------------------------------- decoder
     _K("SPRINTZ_LOWDIM_PASS", "auto", "trace", "str",

@@ -755,6 +755,31 @@ def unpack_dims_lowdim(dense: jnp.ndarray, widths: jnp.ndarray) -> jnp.ndarray:
             out = jnp.where(w_t[None] == w, jnp.stack(rows), out)
         return out.transpose(2, 0, 1)  # (c, 8, D)
 
+    def chunk_wsel32(dense_c, widths_c):
+        # Word-granular select (session 48; the lowdim twin of the
+        # rowmajor wordsel that won every maxb-8 cell): the EB payload
+        # bytes of a dim are EB/4 u32 words, each sample field spans
+        # <= 2 of them — a (EB/4)-deep lo/hi select + ONE funnel shift
+        # replaces jsel's 3 x EB-way byte selects (~4x fewer ops).
+        cb, ndims_c, _ = dense_c.shape
+        k32 = eb // 4
+        words = jax.lax.bitcast_convert_type(
+            dense_c.astype(jnp.uint8).reshape(cb, ndims_c, k32, 4),
+            jnp.uint32)  # (c, D, k32)
+        bitoff = (jnp.arange(BLOCK_SZ)[None, :, None]
+                  * widths_c[:, None, :])  # (c, 8, D)
+        q = bitoff >> 5
+        lo = jnp.broadcast_to(words[:, None, :, 0], q.shape)
+        hi = jnp.zeros(q.shape, jnp.uint32)
+        for jj in range(1, k32):
+            wj = words[:, None, :, jj]
+            lo = jnp.where(q == jj, wj, lo)
+            hi = jnp.where(q + 1 == jj, wj, hi)
+        sh = (bitoff & 31).astype(jnp.uint32)
+        val = (lo >> sh) | ((hi << 1) << (31 - sh))
+        return (val.astype(jnp.int32)
+                & ((1 << widths_c)[:, None, :] - 1))
+
     impl = LOWDIM_IMPL
     if impl == "auto":
         # session-39 device A/B: jsel wins the small-D u8 unpack
@@ -771,6 +796,8 @@ def unpack_dims_lowdim(dense: jnp.ndarray, widths: jnp.ndarray) -> jnp.ndarray:
         return _chunked(chunk_dyn, nb, dense, widths)
     if impl == "jsel":
         return _chunked(chunk_jsel, nb, dense, widths)
+    if impl == "wsel32":
+        return _chunked(chunk_wsel32, nb, dense, widths)
     if impl == "wbank":
         return _chunked(unpack_dims_lowdim_wbank, nb, dense, widths)
     return _chunked(chunk_sel if impl == "select" else chunk,
