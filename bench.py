@@ -573,7 +573,7 @@ def main():
         # mirroring the sprintz encode-kernel metric above)
         t = hf.build_table(payload)
         nch = max(1, -(-nsym // cs))
-        syms = np.full((nb_(nch, 8), cs), 256, np.int32)
+        syms = np.full((nb_(nch, 8), cs), 256, np.uint16)
         syms.reshape(-1)[:nsym] = payload
         enc = hf.get_encode_device()
         t3 = devloop_time(

@@ -755,6 +755,7 @@ def _make_encode_device():
         native C++ loop.
         """
         C, cs = syms.shape
+        syms = syms.astype(jnp.int32)  # accepts narrow u16 params
         packed = jnp.where(
             syms > 255, 0, _bitslice_lookup(syms & 255, lut_tt, 16))
 
@@ -834,7 +835,9 @@ def huff_compress_device(data: np.ndarray | bytes,
     n = arr.size
     nchunks = max(1, -(-n // chunk_symbols))
     nc_pad = next_bucket(nchunks, 8)
-    syms = np.full((nc_pad, chunk_symbols), 256, dtype=np.int32)
+    # u16 symbols (values <= 256): half the param bytes of i32, widened
+    # in-kernel — the same narrow-param lever as the sprintz passes
+    syms = np.full((nc_pad, chunk_symbols), 256, dtype=np.uint16)
     syms.reshape(-1)[:n] = arr
     words, acc, nbits = get_encode_device()(
         jnp.asarray(syms), jnp.asarray(encode_lut_packed(t)))
