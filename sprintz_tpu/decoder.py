@@ -598,7 +598,9 @@ if _have_jax:
             widths_t = jnp.concatenate(
                 [widths, jnp.zeros((1, widths.shape[1]), widths.dtype)]
             )[src].astype(jnp.int32)
-            errs = unpack_rows_rowmajor(dense_t, widths_t, pair=_pair_ok(elem_sz))
+            errs = unpack_rows_rowmajor(
+                dense_t, widths_t, pair=_pair_ok(elem_sz),
+                chunk_blocks=8192 if codec == "xff" else None)
             full = errs.reshape(nbt * BLOCK_SZ, errs.shape[2])
             if codec == "delta":
                 vals = delta_decode(full, eb)
@@ -613,7 +615,9 @@ if _have_jax:
         if lowdim:
             errs = _unpack_lowdim_best(dense, widths)
         else:
-            errs = unpack_rows_rowmajor(dense, widths, pair=_pair_ok(elem_sz))
+            errs = unpack_rows_rowmajor(
+                dense, widths, pair=_pair_ok(elem_sz),
+                chunk_blocks=8192 if codec == "xff" else None)
         ndata, _, ndims = errs.shape
         if (RUNS_TIMELINE in ("gather", "ngather", "auto", "dgather")
                 and total_rows % BLOCK_SZ == 0):
@@ -738,7 +742,9 @@ if _have_jax:
         if lowdim:
             errs = _unpack_lowdim_best(dense, widths)
         else:
-            errs = unpack_rows_rowmajor(dense, widths, pair=_pair_ok(elem_sz))
+            errs = unpack_rows_rowmajor(
+                dense, widths, pair=_pair_ok(elem_sz),
+                chunk_blocks=8192 if codec == "xff" else None)
         ndata, _, ndims = errs.shape
         flat = errs.reshape(ndata * BLOCK_SZ, ndims)
         if codec == "delta":
@@ -867,7 +873,9 @@ if _have_jax:
         if lowdim:
             errs = _unpack_lowdim_best(dense, widths)
         else:
-            errs = unpack_rows_rowmajor(dense, widths, pair=_pair_ok(elem_sz))
+            errs = unpack_rows_rowmajor(
+                dense, widths, pair=_pair_ok(elem_sz),
+                chunk_blocks=8192 if codec == "xff" else None)
         ndata, _, ndims = errs.shape
         flat = errs.reshape(ndata * BLOCK_SZ, ndims)
         if codec == "delta":
@@ -911,7 +919,9 @@ if _have_jax:
             if lowdim:
                 errs = _unpack_lowdim_best(d, w)
             else:
-                errs = unpack_rows_rowmajor(d, w, pair=_pair_ok(elem_sz))
+                errs = unpack_rows_rowmajor(
+                    d, w, pair=_pair_ok(elem_sz),
+                    chunk_blocks=8192 if codec == "xff" else None)
             nb, _, ndims = errs.shape
             if contiguous:
                 full = errs.reshape(nb * BLOCK_SZ, ndims)[:rows_pad]

@@ -771,23 +771,26 @@ def _make_encode_device():
             return acc, nbits, word | (flush.astype(jnp.int32) << 16)
 
         z = (jnp.zeros(C, jnp.uint32), jnp.zeros(C, jnp.int32))
-        if cs % 2 == 0:
-            # two symbols per scan step (the decode kernel's trick):
-            # halves the scan's per-step overhead — session 44 measured
-            # the append scan at 379 us (1 sym) vs 173 us (2 syms) on
-            # the 4.4 MiB payload, lifting full encode 8.8 -> ~14 GB/s.
-            # Each append still flushes <= 1 u16 (acc < 16 bits entering,
-            # len <= 12), so the (steps, 2, C) words keep the exact
+        group = 4 if cs % 4 == 0 else (2 if cs % 2 == 0 else 1)
+        if group > 1:
+            # several symbols per scan step (the decode kernel's trick):
+            # the scan's per-step overhead was the encode wall — session
+            # 44 measured the append scan at 379 us (1 sym) vs 173 us
+            # (2 syms) on the 4.4 MiB payload; session 50 A/B's 4 syms.
+            # Each append still flushes <= 1 u16 (acc < 16 bits
+            # entering, len <= 12), so the stacked words keep the exact
             # word-order contract of the 1-sym scan.
-            xs = packed.T.reshape(cs // 2, 2, C)
+            xs = packed.T.reshape(cs // group, group, C)
 
-            def step2(carry, p2):
+            def stepg(carry, pg):
                 acc, nbits = carry
-                acc, nbits, w0 = append1(acc, nbits, p2[0])
-                acc, nbits, w1 = append1(acc, nbits, p2[1])
-                return (acc, nbits), jnp.stack([w0, w1])
+                ws = []
+                for g in range(group):
+                    acc, nbits, w = append1(acc, nbits, pg[g])
+                    ws.append(w)
+                return (acc, nbits), jnp.stack(ws)
 
-            (acc, nbits), words = jax.lax.scan(step2, z, xs)
+            (acc, nbits), words = jax.lax.scan(stepg, z, xs)
             return words.reshape(cs, C), acc.astype(jnp.int32), nbits
 
         def step(carry, p):

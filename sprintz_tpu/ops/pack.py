@@ -95,7 +95,7 @@ def _lowdim_widths(eb: int):
     return [w for w in range(1, eb + 1) if w != eb - 1]
 
 
-def _chunked(fn, n_leading: int, *arrays):
+def _chunked(fn, n_leading: int, *arrays, chunk: int | None = None):
     """Apply fn over equal chunks of the leading axis and concatenate.
 
     Chunking bounds the transient one-hot weight tensors to ~_CHUNK
@@ -104,10 +104,13 @@ def _chunked(fn, n_leading: int, *arrays):
     nchunks*8 rows instead of up to a whole chunk — the grouped lowdim
     passes produce c = ceil(nb/G), which is never chunk-aligned for
     non-pow2 streams. Zero pad rows (width 0) pack/unpack to zeros and
-    are sliced back off."""
-    if n_leading <= _CHUNK:
+    are sliced back off. ``chunk`` overrides _CHUNK (the xff serial
+    pass keeps 8192: the single 16384 unpack chunk serializes ahead of
+    the FIRE scan and cost 11%, session 49)."""
+    _chunk = chunk or _CHUNK
+    if n_leading <= _chunk:
         return fn(*arrays)
-    nchunks = -(-n_leading // _CHUNK)
+    nchunks = -(-n_leading // _chunk)
     chunk = -(-n_leading // nchunks)
     chunk += (-chunk) % 8
     pad = nchunks * chunk - n_leading
@@ -431,7 +434,8 @@ def pack_dims_lowdim_wbank(errs_zz: jnp.ndarray, widths: jnp.ndarray,
 
 def unpack_rows_rowmajor(dense: jnp.ndarray, widths: jnp.ndarray,
                          pair: bool = False,
-                         off: jnp.ndarray | None = None) -> jnp.ndarray:
+                         off: jnp.ndarray | None = None,
+                         chunk_blocks: int | None = None) -> jnp.ndarray:
     """Extract per-dim fields from packed rows.
 
     dense: (nb, 8, MAXB) int32 bytes (payload rows, zero padded);
@@ -568,13 +572,14 @@ def unpack_rows_rowmajor(dense: jnp.ndarray, widths: jnp.ndarray,
                 & ((1 << widths_c)[:, None, :] - 1))
 
     if off is not None:
-        return _chunked(chunk, nb, dense, widths, off)
+        return _chunked(chunk, nb, dense, widths, off, chunk=chunk_blocks)
     if pair:
-        return _chunked(chunk_pair, nb, dense, widths)
+        return _chunked(chunk_pair, nb, dense, widths, chunk=chunk_blocks)
     if _wordsel_ok(maxb):
-        return _chunked(chunk_wordsel, nb, dense, widths)
+        return _chunked(chunk_wordsel, nb, dense, widths,
+                        chunk=chunk_blocks)
     return _chunked(chunk_s8 if MXU_IMPL == "s8" else chunk,
-                    nb, dense, widths)
+                    nb, dense, widths, chunk=chunk_blocks)
 
 
 def unpack_rows_ragged(dense_sorted: jnp.ndarray, widths_sorted: jnp.ndarray,
