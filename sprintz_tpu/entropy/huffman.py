@@ -771,7 +771,11 @@ def _make_encode_device():
             return acc, nbits, word | (flush.astype(jnp.int32) << 16)
 
         z = (jnp.zeros(C, jnp.uint32), jnp.zeros(C, jnp.int32))
-        group = 4 if cs % 4 == 0 else (2 if cs % 2 == 0 else 1)
+        # measured group curve on device (sessions 44/49/50, full
+        # encode GB/s): 1 -> 8.8, 2 -> 10.4, 4 -> 11.15, 8 -> 9.65
+        # (the longer in-step serial append chain loses) — 4 is the
+        # optimum.
+        group = next((g for g in (4, 2) if cs % g == 0), 1)
         if group > 1:
             # several symbols per scan step (the decode kernel's trick):
             # the scan's per-step overhead was the encode wall — session
