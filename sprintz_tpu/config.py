@@ -56,9 +56,19 @@ KNOBS: dict[str, Knob] = {k.name: k for k in [
     # ---------------------------------------------------------- ops/pack
     _K("SPRINTZ_MXU_IMPL", "bf16", "trace", "str",
        "Number format for the batched unpack/pack one-hot matmuls: bf16 "
-       "(exact for <=16-bit fields via 3-byte windows) or s8 (biased "
-       "int8 dot).", "ops.pack.MXU_IMPL", ("bf16", "s8"),
-       "session 2: s8 LOSES 2.4x for the batched per-block dots"),
+       "(exact for <=16-bit fields via 3-byte windows), s8 (biased "
+       "int8 dot), or bf3 (shifted-payload: ONE byte-select one-hot — "
+       "single compare instead of the 3-level where chain — with "
+       "byte-shifted payload copies on the dot's M axis).",
+       "ops.pack.MXU_IMPL", ("bf16", "s8", "bf3"),
+       "session 2: s8 LOSES 2.4x; session 52: bf3 A/B"),
+    _K("SPRINTZ_UNPACK_NWIN", "auto", "trace", "str",
+       "Byte-window count for the rowmajor (un)pack matmuls: auto (2 "
+       "windows for u8 streams — fields stop at (off&7)+width <= 15 "
+       "bits, so the 65536 window is provably zero — 3 for u16), or "
+       "2/3 forced for A/B.", "ops.pack.UNPACK_NWIN",
+       ("auto", "2", "3"),
+       "round-5 roofline: the weight BUILD is the unpack's VPU wall"),
     _K("SPRINTZ_USE_PALLAS", "0", "trace", "str",
        "Route the rowmajor unpack through the Pallas kernels (0=XLA "
        "one-hot matmul, 1=i32 kernel, mxu/mxu16=MXU kernel variants). "

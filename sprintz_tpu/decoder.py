@@ -599,7 +599,7 @@ if _have_jax:
                 [widths, jnp.zeros((1, widths.shape[1]), widths.dtype)]
             )[src].astype(jnp.int32)
             errs = unpack_rows_rowmajor(
-                dense_t, widths_t, pair=_pair_ok(elem_sz),
+                dense_t, widths_t, pair=_pair_ok(elem_sz), elem_sz=elem_sz,
                 chunk_blocks=8192 if codec == "xff" else None)
             full = errs.reshape(nbt * BLOCK_SZ, errs.shape[2])
             if codec == "delta":
@@ -616,7 +616,7 @@ if _have_jax:
             errs = _unpack_lowdim_best(dense, widths)
         else:
             errs = unpack_rows_rowmajor(
-                dense, widths, pair=_pair_ok(elem_sz),
+                dense, widths, pair=_pair_ok(elem_sz), elem_sz=elem_sz,
                 chunk_blocks=8192 if codec == "xff" else None)
         ndata, _, ndims = errs.shape
         if (RUNS_TIMELINE in ("gather", "ngather", "auto", "dgather")
@@ -704,7 +704,8 @@ if _have_jax:
         off_f = (off0.reshape(nbf, g, ndims)
                  + (jnp.arange(g) * 8 * maxb)[None, :, None]
                  ).reshape(nbf, g * ndims)
-        errs = unpack_rows_rowmajor(dense_f, widths_f, off=off_f)
+        errs = unpack_rows_rowmajor(dense_f, widths_f, off=off_f,
+                                    elem_sz=elem_sz)
         deltas = zigzag_decode(errs, eb)  # (nbf, 8, 128)
         pref = hierarchical_cumsum(
             deltas.reshape(nbf * BLOCK_SZ, g * ndims), value_bits=eb
@@ -743,7 +744,7 @@ if _have_jax:
             errs = _unpack_lowdim_best(dense, widths)
         else:
             errs = unpack_rows_rowmajor(
-                dense, widths, pair=_pair_ok(elem_sz),
+                dense, widths, pair=_pair_ok(elem_sz), elem_sz=elem_sz,
                 chunk_blocks=8192 if codec == "xff" else None)
         ndata, _, ndims = errs.shape
         flat = errs.reshape(ndata * BLOCK_SZ, ndims)
@@ -874,7 +875,7 @@ if _have_jax:
             errs = _unpack_lowdim_best(dense, widths)
         else:
             errs = unpack_rows_rowmajor(
-                dense, widths, pair=_pair_ok(elem_sz),
+                dense, widths, pair=_pair_ok(elem_sz), elem_sz=elem_sz,
                 chunk_blocks=8192 if codec == "xff" else None)
         ndata, _, ndims = errs.shape
         flat = errs.reshape(ndata * BLOCK_SZ, ndims)
@@ -920,7 +921,7 @@ if _have_jax:
                 errs = _unpack_lowdim_best(d, w)
             else:
                 errs = unpack_rows_rowmajor(
-                    d, w, pair=_pair_ok(elem_sz),
+                    d, w, pair=_pair_ok(elem_sz), elem_sz=elem_sz,
                     chunk_blocks=8192 if codec == "xff" else None)
             nb, _, ndims = errs.shape
             if contiguous:

@@ -53,9 +53,29 @@ UNPACK_PAIR = config.get("SPRINTZ_UNPACK_PAIR") == "1"
 # MXU number format for the exact-matmul kernels: "bf16" (one matmul,
 # weights in {1,256,65536}) or "s8" (v5e native s8*s8->s32 — half the
 # weight bytes at twice the MXU rate; bytes are biased into [-128,127]
-# and debiased after, still exact integer arithmetic). NOTE: flag is read
-# at TRACE time — call jax.clear_caches() after changing it in-process.
+# and debiased after, still exact integer arithmetic) or "bf3" (the
+# shifted-payload formulation: ONE byte-select {0,1} one-hot — a single
+# compare instead of the 3-level where chain, targeting the weight
+# BUILD the round-5 roofline pinned as the unpack's VPU wall — with
+# byte-shifted payload copies riding the same dot; chunk_s8's structure
+# with bf16 carriers, since s8 lost on dot LOWERING, not structure).
+# NOTE: flag is read at TRACE time — call jax.clear_caches() after
+# changing it in-process.
 MXU_IMPL = config.get("SPRINTZ_MXU_IMPL")
+
+# Byte-window count for the rowmajor (un)pack matmuls: "auto" derives it
+# from the element size — u8 fields never reach a third byte
+# ((off & 7) + width <= 7 + 8 = 15 bits), so u8 streams build/apply TWO
+# windows instead of three (one less compare+select level over the
+# (c, MAXB, D) weight and one less pack matmul); u16 keeps 3 (<= 23
+# bits). "3" forces the conservative pre-round-5 behavior for A/B.
+UNPACK_NWIN = config.get("SPRINTZ_UNPACK_NWIN")
+
+
+def _nwin(elem_sz: int) -> int:
+    if UNPACK_NWIN in ("2", "3"):
+        return int(UNPACK_NWIN)
+    return 2 if elem_sz == 1 else 3
 
 # Lowdim (column-major) kernel formulation. "select" is a pure VPU
 # int32 select-accumulate laid out with the BLOCK axis minor, built to
@@ -157,7 +177,9 @@ def pack_rows_rowmajor(errs_zz: jnp.ndarray, widths: jnp.ndarray,
         c = errs_c << (off & 7)[:, None, :]  # up to 23 bits
         q = off >> 3
         out = jnp.zeros((errs_c.shape[0], BLOCK_SZ, maxb), jnp.float32)
-        for k in range(3):
+        # u8 shifted fields stop at 15 bits, so byte 2 is always zero
+        # and its one-hot + matmul are skipped (_nwin); byte-identical.
+        for k in range(_nwin(elem_sz)):
             onehot = (q[:, :, None] + k == m[None, None, :])
             byte_k = (c >> (8 * k)) & 0xFF
             out = out + _matmul_exact(byte_k, onehot).astype(jnp.float32)
@@ -435,7 +457,8 @@ def pack_dims_lowdim_wbank(errs_zz: jnp.ndarray, widths: jnp.ndarray,
 def unpack_rows_rowmajor(dense: jnp.ndarray, widths: jnp.ndarray,
                          pair: bool = False,
                          off: jnp.ndarray | None = None,
-                         chunk_blocks: int | None = None) -> jnp.ndarray:
+                         chunk_blocks: int | None = None,
+                         elem_sz: int = 2) -> jnp.ndarray:
     """Extract per-dim fields from packed rows.
 
     dense: (nb, 8, MAXB) int32 bytes (payload rows, zero padded);
@@ -446,6 +469,9 @@ def unpack_rows_rowmajor(dense: jnp.ndarray, widths: jnp.ndarray,
     ``off``: precomputed (nb, D) bit offsets overriding the in-chunk
     widths cumsum (the block-folded decode pass packs G real blocks
     into one virtual row, so dim g*D+d starts at g*8*maxb + own off).
+    ``elem_sz``: element bytes of the STREAM the widths came from; sets
+    the byte-window count (u8 fields span <= 2 bytes — see _nwin). The
+    conservative default 2 (= 3 windows) is always exact.
     """
     if _USE_PALLAS == "1":
         from .pallas_pack import unpack_rows_pallas
@@ -464,6 +490,7 @@ def unpack_rows_rowmajor(dense: jnp.ndarray, widths: jnp.ndarray,
             dense, widths, out_dtype="bf16").astype(jnp.int32)
     nb, _, maxb = dense.shape
     ndims = widths.shape[1]
+    nwin = _nwin(elem_sz)
     j = jnp.arange(maxb)
 
     def chunk(dense_c, widths_c, off_c=None):
@@ -475,17 +502,48 @@ def unpack_rows_rowmajor(dense: jnp.ndarray, widths: jnp.ndarray,
             # operand layout: the intermediate minor dim is D (2x lane
             # pad at D=64) instead of MAXB=32 (4x), and no transpose
             rel = j[None, :, None] - q[:, None, :]  # (c, MAXB, D)
-            w = jnp.where(rel == 0, 1.0,
-                          jnp.where(rel == 1, 256.0,
-                                    jnp.where(rel == 2, 65536.0, 0.0)))
+            w3 = jnp.where(rel == 2, 65536.0, 0.0) if nwin == 3 else 0.0
+            w = jnp.where(rel == 0, 1.0, jnp.where(rel == 1, 256.0, w3))
             word = _matmul_exact(dense_c, w)  # (c, 8, D)
         else:
             rel = j[None, None, :] - q[:, :, None]  # (c, D, MAXB)
-            w = jnp.where(rel == 0, 1.0,
-                          jnp.where(rel == 1, 256.0,
-                                    jnp.where(rel == 2, 65536.0, 0.0)))
+            w3 = jnp.where(rel == 2, 65536.0, 0.0) if nwin == 3 else 0.0
+            w = jnp.where(rel == 0, 1.0, jnp.where(rel == 1, 256.0, w3))
             word = _matmul_exact(dense_c, w.transpose(0, 2, 1))  # (c, 8, D)
         word = word >> (off & 7)[:, None, :]
+        return word & ((1 << widths_c)[:, None, :] - 1)
+
+    def chunk_bf3(dense_c, widths_c, off_c=None):
+        # Shifted-payload extraction (round-5 roofline consequence): the
+        # weight is ONE {0,1} byte-select one-hot — a single compare
+        # over the (c, MAXB, D) tensor instead of the 3-level where
+        # chain (the measured VPU wall of the weight BUILD) — and bytes
+        # k = 1..nwin-1 come from byte-shifted payload copies stacked on
+        # the dot's tiny M axis (8 -> 8*nwin rows; M=8 leaves the MXU
+        # idle, so the extra rows are near-free). Combine in f32:
+        # b0 + 256*b1 + 65536*b2 <= 2^24 - 1, exact. Same structure as
+        # chunk_s8, whose loss was the s8 dot LOWERING, not the shape.
+        c0 = dense_c.shape[0]
+        off = (jnp.cumsum(widths_c, axis=1) - widths_c
+               if off_c is None else off_c.astype(jnp.int32))
+        q = off >> 3  # (c, D)
+        oh = (j[None, :, None] == q[:, None, :]).astype(jnp.bfloat16)
+        d8 = dense_c.astype(jnp.bfloat16)  # (c, 8, MAXB)
+        z1 = jnp.zeros_like(d8[:, :, :1])
+        copies = [d8]
+        for k in range(1, nwin):
+            copies.append(jnp.concatenate(
+                [d8[:, :, k:]] + [z1] * k, axis=2))
+        dcat = jnp.concatenate(copies, axis=1)  # (c, 8*nwin, MAXB)
+        b = jax.lax.dot_general(
+            dcat, oh,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # (c, 8*nwin, D)
+        word = b[:, :BLOCK_SZ]
+        for k in range(1, nwin):
+            word = word + b[:, k * BLOCK_SZ:(k + 1) * BLOCK_SZ] * float(
+                1 << (8 * k))
+        word = word.astype(jnp.int32) >> (off & 7)[:, None, :]
         return word & ((1 << widths_c)[:, None, :] - 1)
 
     def chunk_s8(dense_c, widths_c):
@@ -571,14 +629,15 @@ def unpack_rows_rowmajor(dense: jnp.ndarray, widths: jnp.ndarray,
         return (val.astype(jnp.int32)
                 & ((1 << widths_c)[:, None, :] - 1))
 
+    main = chunk_bf3 if MXU_IMPL == "bf3" else chunk
     if off is not None:
-        return _chunked(chunk, nb, dense, widths, off, chunk=chunk_blocks)
+        return _chunked(main, nb, dense, widths, off, chunk=chunk_blocks)
     if pair:
         return _chunked(chunk_pair, nb, dense, widths, chunk=chunk_blocks)
     if _wordsel_ok(maxb):
         return _chunked(chunk_wordsel, nb, dense, widths,
                         chunk=chunk_blocks)
-    return _chunked(chunk_s8 if MXU_IMPL == "s8" else chunk,
+    return _chunked(chunk_s8 if MXU_IMPL == "s8" else main,
                     nb, dense, widths, chunk=chunk_blocks)
 
 

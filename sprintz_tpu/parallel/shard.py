@@ -176,7 +176,7 @@ def _shard_decode(dense: jnp.ndarray, widths: jnp.ndarray, elem_sz: int):
     dense: (local_nb, 8, MAXB) int32; widths: (local_nb, D) int32.
     """
     eb = 8 * elem_sz
-    errs = unpack_rows_rowmajor(dense, widths)
+    errs = unpack_rows_rowmajor(dense, widths, elem_sz=elem_sz)
     nb, _, ndims = errs.shape
     deltas = zigzag_decode(errs.reshape(nb * BLOCK_SZ, ndims), eb)
     local = jnp.cumsum(deltas, axis=0, dtype=jnp.int32)
@@ -211,7 +211,7 @@ def _shard_fire_decode(dense: jnp.ndarray, widths: jnp.ndarray,
                        elem_sz: int):
     """Per-shard unpack + exact cross-shard FIRE decode chain."""
     eb = 8 * elem_sz
-    errs = unpack_rows_rowmajor(dense, widths)
+    errs = unpack_rows_rowmajor(dense, widths, elem_sz=elem_sz)
     nb, _, ndims = errs.shape
     return _fire_chain(errs.reshape(nb * BLOCK_SZ, ndims), eb, decode=True)
 
@@ -286,7 +286,7 @@ def _shard_decode_timeline(dense_k, widths_k, src_k, state_k, *, codec,
     if lowdim:
         errs = _dec._unpack_lowdim_best(d, w)
     else:
-        errs = unpack_rows_rowmajor(d, w)
+        errs = unpack_rows_rowmajor(d, w, elem_sz=elem_sz)
     nb, _, ndims = errs.shape
     errs_pad = jnp.concatenate(
         [errs, jnp.zeros((1, BLOCK_SZ, ndims), errs.dtype)])

@@ -118,8 +118,9 @@ def _get_compact_run():
         eb = 8 * elem_sz
         dense = dense.astype(jnp.int32)
         widths = widths.astype(jnp.int32)
-        errs = (unpack_dims_lowdim if lowdim else unpack_rows_rowmajor)(
-            dense, widths)  # (nb_pad, 8, D)
+        errs = (unpack_dims_lowdim(dense, widths) if lowdim
+                else unpack_rows_rowmajor(
+                    dense, widths, elem_sz=elem_sz))  # (nb_pad, 8, D)
         nb_pad, _, ndims = errs.shape
         deltas = zigzag_decode(errs, eb).reshape(nb_pad * BLOCK_SZ, ndims)
         # runs carry zero delta, so the cumsum over compacted data rows
