@@ -665,9 +665,9 @@ def main():
         for _ in range(3):
             t0 = time.perf_counter()
             idx64, dense64 = decoder.index_and_gather(
-                s64, ng64, ndims, 1, False)
-            nd64 = next_bucket(dense64.shape[0])
-            dp64 = pad_rows(dense64, nd64)
+                s64, ng64, ndims, 1, False, pad_dense=True)
+            nd64 = next_bucket(idx64.widths.shape[0])
+            dp64 = pad_rows(dense64, nd64)  # no-op: gather pre-padded
             wp64 = pad_rows(idx64.widths, nd64)
             dfl = np.ascontiguousarray(dp64).reshape(-1)
             wfl = np.ascontiguousarray(wp64).reshape(-1)
@@ -715,8 +715,8 @@ def main():
         for _ in range(3):
             t0 = time.perf_counter()
             idx16, d16 = decoder.index_and_gather(s16, ng16, ndims, 2,
-                                                  False)
-            ndp16 = next_bucket(d16.shape[0])
+                                                  False, pad_dense=True)
+            ndp16 = next_bucket(idx16.widths.shape[0])
             dfl16 = np.ascontiguousarray(pad_rows(d16, ndp16)).reshape(-1)
             wfl16 = np.ascontiguousarray(
                 pad_rows(idx16.widths, ndp16)).reshape(-1)

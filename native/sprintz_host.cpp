@@ -526,6 +526,10 @@ int64_t sprintz_walk_gather(
       widths_out, offsets_out, out_rows_out, out_meta, rb.data(),
       &published);
   done.store(true, std::memory_order_release);
+  // the walk outruns the gather (~5.4 vs ~4 GB/s measured): once it
+  // has published everything, this thread's core would idle while the
+  // workers drain the backlog — join the gather as worker nworkers+1
+  if (n >= 0) worker();
   for (auto& th : ts) th.join();
   if (n < 0) return n;
   if (overflow.load()) return -3;

@@ -1103,22 +1103,35 @@ def group_by_signature(idx: StreamIndex, max_blowup: float = 3.0):
 
 
 def gather_payloads(buf: bytes, idx: StreamIndex, ndims: int, elem_sz: int,
-                    lowdim: bool) -> np.ndarray:
+                    lowdim: bool, pad_to: int | None = None) -> np.ndarray:
     """Gather packed payload bytes into a dense per-block buffer
-    (vectorized index arithmetic, no per-block loops)."""
+    (vectorized index arithmetic, no per-block loops).
+
+    ``pad_to``: allocate that many leading rows up front (tail zeroed)
+    so the downstream ``pad_rows`` + flat-param ``ascontiguousarray``
+    no-op instead of copying the whole dense buffer again."""
     from .native_host import gather_blocks_native, gather_dims_native
 
     buf_np = np.frombuffer(buf, dtype=np.uint8)
     ndata = idx.widths.shape[0]
+    nd_alloc = max(pad_to or ndata, ndata)
+
+    def alloc(shape_tail):
+        full = np.empty((nd_alloc,) + shape_tail, dtype=np.uint8)
+        if nd_alloc > ndata:
+            full[ndata:] = 0
+        return full
+
     if lowdim:
         maxb = 8 * elem_sz
         # native fills every byte (copy + pad memset) -> skip the
         # np.zeros memset, a full extra pass over the output buffer
-        dense = np.empty((ndata, ndims, maxb), dtype=np.uint8)
+        full_buf = alloc((ndims, maxb))
+        dense = full_buf[:ndata]
         if ndata == 0:
-            return dense
+            return full_buf
         if gather_dims_native(buf, idx.payload_offsets, idx.widths, dense):
-            return dense
+            return full_buf
         dense[:] = 0  # numpy fallback scatters only payload bytes
         w = idx.widths.astype(np.int64)  # (ndata, D)
         unit_len = w.reshape(-1)
@@ -1139,12 +1152,13 @@ def gather_payloads(buf: bytes, idx: StreamIndex, ndims: int, elem_sz: int,
                 # (session 21: maxb=48 loses to 64)
                 bucket = next_bucket(max(rb_max, 1), minimum=8, pow2=True)
             maxb = min(maxb, bucket)
-        dense = np.empty((ndata, BLOCK_SZ, maxb), dtype=np.uint8)
+        full_buf = alloc((BLOCK_SZ, maxb))
+        dense = full_buf[:ndata]
         if ndata == 0:
-            return dense
+            return full_buf
         rb = ((idx.widths.sum(axis=1) + 7) // 8).astype(np.int64)
         if gather_blocks_native(buf, idx.payload_offsets, rb, dense):
-            return dense
+            return full_buf
         dense[:] = 0  # numpy fallback scatters only payload bytes
         unit_len = np.repeat(rb, BLOCK_SZ)
         unit_src = (np.repeat(idx.payload_offsets, BLOCK_SZ)
@@ -1163,15 +1177,22 @@ def gather_payloads(buf: bytes, idx: StreamIndex, ndims: int, elem_sz: int,
             flat = dense.reshape(-1)
             flat[np.repeat(unit_dst, unit_len) + q] = buf_np[
                 np.repeat(unit_src, unit_len) + q]
-    return dense
+    return full_buf
 
 
 def index_and_gather(buf: bytes, ngroups: int, ndims: int, elem_sz: int,
-                     lowdim: bool) -> tuple[StreamIndex, np.ndarray]:
+                     lowdim: bool, pad_dense: bool = False
+                     ) -> tuple[StreamIndex, np.ndarray]:
     """Walk + gather with the fused overlapped native pass when
     available (rowmajor): the walker thread indexes blocks while worker
     threads copy payload rows cache-hot — wall ~ max(walk, gather).
-    Output is identical to walk_headers + gather_payloads."""
+    Output is identical to walk_headers + gather_payloads.
+
+    ``pad_dense``: return dense with ``next_bucket(ndata)`` leading rows
+    (tail zeroed) so pad_rows + the flat-param ascontiguousarray no-op
+    — removes a full copy of the multi-MB dense buffer from the host
+    pipeline. ``idx`` itself is unchanged (its arrays stay ndata-long).
+    """
     from .native_host import walk_gather_native
 
     if not lowdim and MAXB_BUCKET != "mult8":
@@ -1190,7 +1211,8 @@ def index_and_gather(buf: bytes, ngroups: int, ndims: int, elem_sz: int,
                                              pow2=True))
         while True:
             res = walk_gather_native(buf, METADATA_LEN_RLE, ngroups,
-                                     ndims, elem_sz, maxb)
+                                     ndims, elem_sz, maxb,
+                                     pad_to_bucket=pad_dense)
             if res == -3 and maxb < maxb_logical:
                 maxb = min(maxb_logical, maxb * 2)
                 continue
@@ -1200,9 +1222,16 @@ def index_and_gather(buf: bytes, ngroups: int, ndims: int, elem_sz: int,
             idx = StreamIndex(widths=widths, payload_offsets=offsets,
                               out_rows=out_rows, total_rows=total_rows,
                               tail_offset=tail_offset)
+            if pad_dense and widths.shape[0]:
+                want = next_bucket(widths.shape[0])
+                if dense.shape[0] != want:  # walk buffer too small: copy
+                    dense = pad_rows(dense[: widths.shape[0]], want)
             return idx, dense
     idx = walk_headers(buf, ngroups, ndims, elem_sz, lowdim=lowdim)
-    return idx, gather_payloads(buf, idx, ndims, elem_sz, lowdim)
+    pad_to = (next_bucket(idx.widths.shape[0])
+              if pad_dense and idx.widths.shape[0] else None)
+    return idx, gather_payloads(buf, idx, ndims, elem_sz, lowdim,
+                                pad_to=pad_to)
 
 
 def decode_indexed(buf: bytes, idx: StreamIndex, ndims: int, elem_sz: int,
@@ -1213,10 +1242,11 @@ def decode_indexed(buf: bytes, idx: StreamIndex, ndims: int, elem_sz: int,
     import jax.numpy as jnp
 
     ndata = idx.widths.shape[0]
-    dense = gather_payloads(buf, idx, ndims, elem_sz, lowdim)
+    nd_pad = next_bucket(max(ndata, 1))
+    dense = gather_payloads(buf, idx, ndims, elem_sz, lowdim,
+                            pad_to=nd_pad)
     if idx.total_rows == 0:
         return np.zeros((0, ndims), np.uint8 if elem_sz == 1 else np.uint16)
-    nd_pad = next_bucket(max(ndata, 1))
     rows_pad = next_bucket(idx.total_rows)
     out_rows_p = np.full(nd_pad, rows_pad + BLOCK_SZ, dtype=np.int64)
     out_rows_p[:ndata] = idx.out_rows  # walk starts its row count at 0
@@ -1380,7 +1410,8 @@ def decompress(
     else:
         lowdim = force_layout == "lowdim"
 
-    idx, dense = index_and_gather(buf, ngroups, ndims, elem_sz, lowdim)
+    idx, dense = index_and_gather(buf, ngroups, ndims, elem_sz, lowdim,
+                                  pad_dense=True)
     if idx.tail_offset + remaining_len * elem_sz > len(buf):
         from .errors import CorruptStreamError
 

@@ -201,7 +201,8 @@ def walk_headers_parallel_native(buf: bytes, byte_offsets: np.ndarray,
 
 
 def walk_gather_native(buf: bytes, start: int, ngroups: int, ndims: int,
-                       elem_sz: int, maxb: int):
+                       elem_sz: int, maxb: int,
+                       pad_to_bucket: bool = False):
     """Fused overlapped walk+gather (rowmajor): the walker thread indexes
     blocks while worker threads copy their payload rows cache-hot —
     wall ~ max(walk, gather) instead of the sum.
@@ -210,6 +211,14 @@ def walk_gather_native(buf: bytes, start: int, ngroups: int, ndims: int,
     lib is unavailable, -3-style retry is handled by the CALLER (returns
     the int -3 so the caller can re-bucket). Success: (widths, offsets,
     out_rows, total_rows, tail_offset, dense).
+
+    ``pad_to_bucket``: return ``dense`` with ``next_bucket(ndata)``
+    leading rows (tail zeroed) instead of exactly ``ndata`` — the
+    downstream ``pad_rows`` + flat-param ``ascontiguousarray`` then
+    no-op instead of re-copying the whole multi-MB dense buffer (the
+    dominant host-prep cost of the composed decode pipeline). The
+    over-allocation is free: the walk buffer is already sized
+    ``2 * ngroups`` rows.
     """
     lib = get_lib()
     if lib is None or not hasattr(lib, "sprintz_walk_gather"):
@@ -243,9 +252,17 @@ def walk_gather_native(buf: bytes, start: int, ngroups: int, ndims: int,
         raise CorruptStreamError(
             "stream walk overran the buffer: truncated stream or "
             "inconsistent metadata")
+    nd_out = int(ndata)
+    if pad_to_bucket and ndata:
+        from .utils.shapes import next_bucket
+
+        nd_pad = next_bucket(int(ndata))
+        if nd_pad <= ndata_max:
+            dense[ndata:nd_pad] = 0
+            nd_out = nd_pad
     return (widths[:ndata].copy(), offsets[:ndata].copy(),
             out_rows[:ndata].copy(), int(meta[1]), int(meta[2]),
-            dense[:ndata])
+            dense[:nd_out])
 
 
 def gather_blocks_native(buf: bytes, offsets: np.ndarray, rb: np.ndarray,
