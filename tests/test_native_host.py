@@ -132,3 +132,41 @@ def test_walk_gather_fused_matches_serial(rng):
         assert idx0.total_rows == idx1.total_rows
         assert idx0.tail_offset == idx1.tail_offset
         assert d0.shape == d1.shape and np.array_equal(d0, d1)
+
+
+@pytest.mark.parametrize("lowdim_d,runs", [(None, False), (None, True),
+                                           (3, False)])
+def test_index_and_gather_pad_dense(rng, lowdim_d, runs):
+    """pad_dense=True must return the same payload with exactly
+    next_bucket(ndata) zero-tailed leading rows, on both the fused
+    native path and the walk+gather fallback (lowdim), including when
+    the bucket exceeds the walk buffer (copy fallback)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from sprintz_tpu import decoder, encoder
+    from sprintz_tpu.golden.stream import read_metadata_rle
+    from sprintz_tpu.utils.shapes import next_bucket
+
+    D = lowdim_d or 24
+    lowdim = lowdim_d is not None
+    n = 4096
+    seg = rng.integers(-6, 7, (n, D))
+    if runs:
+        seg = np.where((np.arange(n) // 64 % 3 == 0)[:, None], 0, seg)
+    raw = (np.cumsum(seg, axis=0) % 256).astype(np.uint8)
+    s = encoder.compress(raw.reshape(-1), D, codec="delta")
+    ng, _, _ = read_metadata_rle(s)
+    i0, d0 = decoder.index_and_gather(s, ng, D, 1, lowdim)
+    i1, d1 = decoder.index_and_gather(s, ng, D, 1, lowdim,
+                                      pad_dense=True)
+    nd = i0.widths.shape[0]
+    assert i1.widths.shape[0] == nd
+    assert d1.shape[0] == next_bucket(nd)
+    assert np.array_equal(d0, d1[:nd])
+    assert not d1[nd:].any()
+    # the production decode consumes the padded dense
+    out = decoder.decompress(s, "delta", 1)
+    assert np.array_equal(out, raw.reshape(-1))
