@@ -433,10 +433,14 @@ def main():
         """Device encode pass (forecast + widths + MXU pack) — the
         kernel-side counterpart of the reference's >200 MB/s compression
         bar (communicate/results.tex:168); host plan/assembly are
-        measured separately (tools/profile_encode.py)."""
+        measured separately (tools/profile_encode.py). Rows ride as the
+        NARROW u8 param production compress() passes (the pass widens
+        on device) — the int32 param this row used through round 5 was
+        4x the HBM and is not the production layout (the same
+        measurement bug session 45b fixed for the xff-batch row)."""
         if time.perf_counter() - t_start > budget_s:
             return
-        rows_j = jnp.asarray(raw.astype(np.int32))
+        rows_j = jnp.asarray(raw)
 
         def kern(r):
             return encoder._encode_pass.__wrapped__(r, "delta", 1, False)
