@@ -65,10 +65,12 @@ KNOBS: dict[str, Knob] = {k.name: k for k in [
     _K("SPRINTZ_UNPACK_NWIN", "auto", "trace", "str",
        "Byte-window count for the rowmajor (un)pack matmuls: auto (2 "
        "windows for u8 streams — fields stop at (off&7)+width <= 15 "
-       "bits, so the 65536 window is provably zero — 3 for u16), or "
-       "2/3 forced for A/B.", "ops.pack.UNPACK_NWIN",
+       "bits, so the 65536 window is provably zero — 3 for u16), 3 "
+       "forces the conservative pre-session-52 behavior for A/B, 2 is "
+       "accepted but still clamps u16 call sites to 3 (2 windows can "
+       "never be valid there).", "ops.pack.UNPACK_NWIN",
        ("auto", "2", "3"),
-       "round-5 roofline: the weight BUILD is the unpack's VPU wall"),
+       "session 52: 2-window u8 unpack +8% (23.0 -> 24.9 headline)"),
     _K("SPRINTZ_USE_PALLAS", "0", "trace", "str",
        "Route the rowmajor unpack through the Pallas kernels (0=XLA "
        "one-hot matmul, 1=i32 kernel, mxu/mxu16=MXU kernel variants). "

@@ -73,8 +73,11 @@ UNPACK_NWIN = config.get("SPRINTZ_UNPACK_NWIN")
 
 
 def _nwin(elem_sz: int) -> int:
-    if UNPACK_NWIN in ("2", "3"):
-        return int(UNPACK_NWIN)
+    if UNPACK_NWIN == "3":
+        return 3
+    # 2 windows are only ever valid for u8 fields ((off & 7) + width
+    # <= 15 bits); a forced "2" on a u16 stream would silently emit
+    # corrupt bytes, so the override clamps to u8 call sites.
     return 2 if elem_sz == 1 else 3
 
 # Lowdim (column-major) kernel formulation. "select" is a pure VPU
@@ -523,7 +526,6 @@ def unpack_rows_rowmajor(dense: jnp.ndarray, widths: jnp.ndarray,
         # idle, so the extra rows are near-free). Combine in f32:
         # b0 + 256*b1 + 65536*b2 <= 2^24 - 1, exact. Same structure as
         # chunk_s8, whose loss was the s8 dot LOWERING, not the shape.
-        c0 = dense_c.shape[0]
         off = (jnp.cumsum(widths_c, axis=1) - widths_c
                if off_c is None else off_c.astype(jnp.int32))
         q = off >> 3  # (c, D)

@@ -48,11 +48,13 @@ def nwin(request):
 @pytest.mark.parametrize("ndims,elem_sz", [(64, 1), (17, 1), (40, 2),
                                            (5, 1)])
 def test_unpack_variants_roundtrip(rng, mxu_impl, nwin, ndims, elem_sz):
-    """Raw pack -> unpack under every (impl, nwin) pair, full widths."""
+    """Raw pack -> unpack under every (impl, nwin) pair, full widths.
+
+    A forced "2" on a u16 stream must CLAMP to 3 windows (2 can never
+    be valid there) rather than silently corrupt — the u16 rows of
+    this grid pin that."""
     import jax.numpy as jnp
 
-    if nwin == "2" and elem_sz != 1:
-        pytest.skip("2 windows only valid for u8 fields")
     eb = 8 * elem_sz
     nb = 512
     errs = jnp.asarray(rng.integers(0, 1 << eb, (nb, 8, ndims)), jnp.int32)
