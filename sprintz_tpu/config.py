@@ -143,9 +143,10 @@ KNOBS: dict[str, Knob] = {k.name: k for k in [
        "sessions 15/31: dgather 12.9 GB/s at 1/3-runs u8; r4 ngather"),
     _K("SPRINTZ_ROWMAJOR_FOLD", "0", "trace", "flag",
        "Block-folded rowmajor delta decode (G=128/D blocks -> full-lane "
-       "tensors). Exact; measured a wash at D=64 (the padded-minor "
-       "accounting, session 36), kept for smaller D experiments.",
-       "decoder.ROWMAJOR_FOLD", None, "session 36"),
+       "tensors). Exact; a wash at D=64 (g=2) and LOSES 25%% at D=32 "
+       "(g=4: the g-times-wider one-hot window outgrows the lane-pad "
+       "savings) — opt-in A/B evidence only.",
+       "decoder.ROWMAJOR_FOLD", None, "sessions 36/57"),
     _K("SPRINTZ_DECODE_FLAT", "auto", "trace", "str",
        "Flat-param contiguous decode: pass the dense/widths jit params "
        "as 1-D arrays (their (nb,8,maxb)/(nb,D) layouts pad minor dims "
