@@ -134,13 +134,14 @@ KNOBS: dict[str, Knob] = {k.name: k for k in [
        "session 9).", "decoder/encoder.LOWDIM_DMAJOR_IMPL",
        ("dyn", "strata"), "session 11"),
     _K("SPRINTZ_RUNS_TIMELINE", "auto", "trace", "str",
-       "Runs-stream timeline realization: auto (dgather for data-heavy "
-       "u8 streams, gather otherwise), gather (block-gather of unpacked "
-       "errs), dgather (gather PACKED bytes, unpack on the timeline), "
-       "ngather (gather errs NARROWED to elem width), scatter (legacy "
-       "row scatter).", "decoder.RUNS_TIMELINE",
+       "Runs-stream timeline realization: auto (= gather everywhere "
+       "since fine buckets removed dgather's session-31 edge, session "
+       "38), gather (block-gather of unpacked errs), dgather (gather "
+       "PACKED bytes, unpack on the timeline), ngather (gather errs "
+       "NARROWED to elem width), scatter (legacy row scatter).",
+       "decoder.RUNS_TIMELINE",
        ("auto", "gather", "dgather", "ngather", "scatter"),
-       "sessions 15/31: dgather 12.9 GB/s at 1/3-runs u8; r4 ngather"),
+       "session 38: gather 18.1 vs dgather 15.8 at 1/3-runs u8"),
     _K("SPRINTZ_ROWMAJOR_FOLD", "0", "trace", "flag",
        "Block-folded rowmajor delta decode (G=128/D blocks -> full-lane "
        "tensors). Exact; a wash at D=64 (g=2) and LOSES 25%% at D=32 "
